@@ -1,0 +1,25 @@
+"""kat_tpu — a TPU-native k-mer analysis framework.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of TGAC/KAT v2.4.2
+(reference: /root/reference, Mapleson et al., Bioinformatics 2016).  Instead of
+KAT's shared-memory Jellyfish CAS hash (reference
+deps/jellyfish-2.2.0/include/jellyfish/large_hash_array.hpp), the counting core
+is a functional pack -> extract -> sort -> segment-reduce pipeline that runs on
+TPU, with the k-mer space hash-partitioned across devices of a
+`jax.sharding.Mesh` (k-mers routed to owner shards with `all_to_all`, low-dim
+results merged with `psum`).
+
+Public surface:
+    kat_tpu.core      -- 2-bit k-mer encoding, window extraction, counting
+    kat_tpu.parallel  -- device-mesh sharded counting / lookup
+    kat_tpu.io        -- FASTA/FASTQ readers, jellyfish .jf codec, mme headers
+    kat_tpu.tools     -- hist / gcp / comp / sect / cold / filter workloads
+    kat_tpu.analysis  -- spectra / peak-fitting / distribution analysis
+    kat_tpu.cli       -- `kat`-compatible command line
+"""
+
+__version__ = "0.1.0"
+
+DEFAULT_MER_LEN = 27  # reference: lib/include/kat/jellyfish_helper.hpp:75
+DEFAULT_HASH_SIZE = 100_000_000  # reference: jellyfish_helper.hpp:76
+DEFAULT_NB_BINS = 1001  # reference: lib/include/kat/comp_counters.hpp:32

@@ -1,0 +1,205 @@
+"""2-bit k-mer encoding and vectorized sliding-window extraction.
+
+TPU-native analogue of jellyfish's `mer_dna` + `mer_iterator` (reference:
+deps/jellyfish-2.2.0/include/jellyfish/mer_dna.hpp:330-437 and
+mer_iterator.hpp:61-89).  A k-mer (k <= 31) is a 64-bit packed integer,
+represented as a pair of uint32 arrays ``(hi, lo)`` so every op stays in
+native 32-bit TPU lanes (no x64 emulation, Pallas-compatible).
+
+Packing convention (identical to jellyfish so .jf files round-trip):
+  base codes A=0, C=1, G=2, T=3; the FIRST character of the k-mer occupies
+  the MOST significant bit pair, i.e. ``value = sum(code[i] << 2*(k-1-i))``.
+Canonical k-mer = min(forward, reverse-complement) as a 64-bit integer
+(mer_dna.hpp:436 `get_canonical`).
+
+Invalid windows (containing a non-ACGT base, or padding) get the sentinel
+key 0xFFFFFFFF_FFFFFFFF, which sorts after every real k-mer for k <= 31.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Sentinel key marking invalid / padding windows. For k <= 31 no real k-mer
+# reaches this value because bits 2k..63 of a real key are always zero.
+SENTINEL = np.uint32(0xFFFFFFFF)
+
+MAX_K = 31
+
+# 256-entry ASCII -> 2-bit code table; 4 = invalid (mirrors mer_dna::code
+# returning -1 for non-ACGT, mer_dna.hpp:382).
+_CODE_LUT = np.full(256, 4, dtype=np.uint8)
+for _ch, _c in (("A", 0), ("C", 1), ("G", 2), ("T", 3)):
+    _CODE_LUT[ord(_ch)] = _c
+    _CODE_LUT[ord(_ch.lower())] = _c
+
+PAD_BYTE = 0  # any byte that encodes to "invalid" works as padding
+
+
+def encode_ascii(buf: np.ndarray) -> np.ndarray:
+    """uint8 ASCII array -> 2-bit codes (0..3) with 4 marking invalid."""
+    return _CODE_LUT[buf]
+
+
+def spec_valid(k: int) -> None:
+    if not (1 <= k <= MAX_K):
+        raise ValueError(
+            f"k={k} out of supported range [1, {MAX_K}] for the packed-u64 "
+            "k-mer path")
+
+
+@functools.partial(jax.jit, static_argnames=("k", "canonical"))
+def extract_kmers(codes: jax.Array, k: int, canonical: bool = True):
+    """Extract all k-length windows from a batch of encoded sequences.
+
+    Args:
+      codes: [..., L] uint8 array of 2-bit base codes (>=4 marks invalid /
+        padding).  Any leading batch shape is preserved.
+      k: k-mer length (1..31).
+      canonical: if True return min(fwd, revcomp) per window
+        (mer_iterator.hpp:82-87 semantics); else the forward k-mer.
+
+    Returns:
+      (hi, lo, valid): uint32/uint32/bool arrays of shape [..., L-k+1].
+      Invalid windows carry the SENTINEL key.
+    """
+    spec_valid(k)
+    L = codes.shape[-1]
+    W = L - k + 1
+    if W <= 0:
+        raise ValueError(f"sequence length {L} shorter than k={k}")
+
+    c32 = codes.astype(jnp.uint32)
+    fwd_hi = jnp.zeros(codes.shape[:-1] + (W,), jnp.uint32)
+    fwd_lo = jnp.zeros_like(fwd_hi)
+    rc_hi = jnp.zeros_like(fwd_hi)
+    rc_lo = jnp.zeros_like(fwd_hi)
+    bad = jnp.zeros(codes.shape[:-1] + (W,), jnp.bool_)
+
+    # k static slices; XLA fuses the whole accumulation into one VPU pass.
+    for j in range(k):
+        c = jax.lax.slice_in_dim(c32, j, j + W, axis=-1)
+        bad = bad | (c >= 4)
+        cc = c & 3  # keep shifts well-defined for invalid lanes
+        fshift = 2 * (k - 1 - j)  # position j from the left
+        rshift = 2 * j            # same base lands at mirrored position in rc
+        comp = cc ^ 3
+        if fshift >= 32:
+            fwd_hi = fwd_hi | (cc << (fshift - 32))
+        else:
+            fwd_lo = fwd_lo | (cc << fshift)
+        if rshift >= 32:
+            rc_hi = rc_hi | (comp << (rshift - 32))
+        else:
+            rc_lo = rc_lo | (comp << rshift)
+
+    if canonical:
+        rc_less = (rc_hi < fwd_hi) | ((rc_hi == fwd_hi) & (rc_lo < fwd_lo))
+        hi = jnp.where(rc_less, rc_hi, fwd_hi)
+        lo = jnp.where(rc_less, rc_lo, fwd_lo)
+    else:
+        hi, lo = fwd_hi, fwd_lo
+
+    hi = jnp.where(bad, SENTINEL, hi)
+    lo = jnp.where(bad, SENTINEL, lo)
+    return hi, lo, ~bad
+
+
+def gc_count(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """Number of G/C bases in packed k-mers (reference str_utils.hpp:151).
+
+    With codes A=00, C=01, G=10, T=11 a base is G or C iff its two bits
+    differ, so GC = popcount((x ^ (x >> 1)) & 0x5555...) per word.  Upper
+    unused bits are zero for real keys so they contribute nothing.
+    """
+    m = jnp.uint32(0x55555555)
+    g_lo = jax.lax.population_count((lo ^ (lo >> 1)) & m)
+    g_hi = jax.lax.population_count((hi ^ (hi >> 1)) & m)
+    return (g_lo + g_hi).astype(jnp.uint32)
+
+
+def reverse_complement(hi: jax.Array, lo: jax.Array, k: int):
+    """Reverse-complement of packed k-mers (mer_dna.hpp:409 semantics)."""
+    spec_valid(k)
+
+    def rev2(x):
+        # Reverse 2-bit groups within a uint32 word.
+        x = ((x & 0x33333333) << 2) | ((x >> 2) & 0x33333333)
+        x = ((x & 0x0F0F0F0F) << 4) | ((x >> 4) & 0x0F0F0F0F)
+        x = ((x & 0x00FF00FF) << 8) | ((x >> 8) & 0x00FF00FF)
+        x = (x << 16) | (x >> 16)
+        return x
+
+    chi = ~hi
+    clo = ~lo
+    # After complement + full 64-bit 2-bit-group reversal, the k-mer sits in
+    # the top 2k bits; shift right by 64-2k.
+    rhi, rlo = rev2(clo), rev2(chi)  # swap words = reverse across the pair
+    shift = 64 - 2 * k
+    if shift == 0:
+        out_hi, out_lo = rhi, rlo
+    elif shift < 32:
+        out_lo = (rlo >> shift) | (rhi << (32 - shift))
+        out_hi = rhi >> shift
+    else:
+        out_lo = rhi >> (shift - 32)
+        out_hi = jnp.zeros_like(rhi)
+    mask_hi, mask_lo = key_mask(k)
+    return out_hi & mask_hi, out_lo & mask_lo
+
+
+def key_mask(k: int):
+    """(hi, lo) uint32 masks covering the 2k used bits."""
+    bits = 2 * k
+    lo_bits = min(bits, 32)
+    hi_bits = max(bits - 32, 0)
+    lo_m = np.uint32(0xFFFFFFFF) if lo_bits == 32 else np.uint32((1 << lo_bits) - 1)
+    hi_m = np.uint32((1 << hi_bits) - 1)
+    return jnp.uint32(hi_m), jnp.uint32(lo_m)
+
+
+# ---------------------------------------------------------------------------
+# Host-side helpers (numpy; small data, used by tests/tools/goldens)
+# ---------------------------------------------------------------------------
+
+def pack_string(s: str) -> int:
+    """Pack an ACGT string into the 64-bit integer key (host-side)."""
+    v = 0
+    for ch in s:
+        c = int(_CODE_LUT[ord(ch)])
+        if c >= 4:
+            raise ValueError(f"invalid base {ch!r}")
+        v = (v << 2) | c
+    return v
+
+
+def unpack_string(v: int, k: int) -> str:
+    out = []
+    for i in range(k):
+        out.append("ACGT"[(v >> (2 * (k - 1 - i))) & 3])
+    return "".join(out)
+
+
+def rc_int(v: int, k: int) -> int:
+    r = 0
+    for _ in range(k):
+        r = (r << 2) | (3 - (v & 3))
+        v >>= 2
+    return r
+
+
+def canonical_int(v: int, k: int) -> int:
+    return min(v, rc_int(v, k))
+
+
+def split_u64(v) -> tuple[np.uint32, np.uint32]:
+    v = int(v)
+    return np.uint32(v >> 32), np.uint32(v & 0xFFFFFFFF)
+
+
+def join_u64(hi, lo) -> np.ndarray:
+    return (np.asarray(hi, np.uint64) << np.uint64(32)) | np.asarray(lo, np.uint64)

@@ -1,0 +1,179 @@
+"""Host-side FASTA/FASTQ/gz record reading and fixed-shape batch encoding.
+
+Plays the role of SeqAn's `SeqFileIn`/`readRecords` plus jellyfish's
+`mer_overlap_sequence_parser` (reference:
+deps/jellyfish-2.2.0/include/jellyfish/mer_overlap_sequence_parser.hpp) — in
+particular the (k-1)-character *seam* copied between consecutive chunks of a
+long sequence so no k-window is lost, and per-file 5' trimming
+(input_handler.cc:51-95).
+
+Device batches are `[rows, row_len]` uint8 2-bit-code arrays, padded with an
+invalid code so windows that touch padding are masked out by
+`extract_kmers`.  Row lengths are bucketed to limit XLA recompiles.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from dataclasses import dataclass
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+from ..core.kmers import encode_ascii
+
+INVALID = np.uint8(4)  # already-encoded padding code
+
+
+def _open_text(path: str) -> io.BufferedReader:
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return io.BufferedReader(gzip.GzipFile(fileobj=f))  # type: ignore
+    return io.BufferedReader(f)
+
+
+def sniff_format(path: str) -> str:
+    """'fasta' | 'fastq', mirroring InputHandler::determineSequenceFileType
+    (input_handler.cc:318-358): extension first, then first character."""
+    base = path
+    if base.lower().endswith(".gz"):
+        base = base[:-3]
+    ext = os.path.splitext(base)[1].lower()
+    if ext in (".fastq", ".fq"):
+        return "fastq"
+    if ext in (".fasta", ".fa", ".fna", ".fas", ".scafseq"):
+        return "fasta"
+    with _open_text(path) as f:
+        ch = f.read(1)
+    if ch == b">":
+        return "fasta"
+    if ch == b"@":
+        return "fastq"
+    raise ValueError(f"Unknown file type: {path}")
+
+
+def is_sequence_file(path: str) -> bool:
+    """True if FASTA/FASTQ(.gz); False for jellyfish hashes etc.
+
+    Mirrors JellyfishHelper::isSequenceFile: a file is a sequence file unless
+    it looks like a binary hash (starts with the 9-digit header-length used by
+    jellyfish's file_header).
+    """
+    try:
+        with _open_text(path) as f:
+            head = f.read(9)
+        if len(head) == 9 and head.isdigit():
+            return False
+        sniff_format(path)
+        return True
+    except (ValueError, OSError):
+        return False
+
+
+@dataclass
+class Record:
+    name: str
+    seq: bytes
+    qual: bytes | None = None
+
+
+def read_records(path: str) -> Iterator[Record]:
+    """Stream records from a FASTA or FASTQ (optionally gzipped) file."""
+    fmt = sniff_format(path)
+    with _open_text(path) as f:
+        if fmt == "fastq":
+            while True:
+                h = f.readline()
+                if not h:
+                    return
+                h = h.rstrip(b"\r\n")
+                if not h:
+                    continue
+                if not h.startswith(b"@"):
+                    raise ValueError(f"Malformed FASTQ header in {path}: {h!r}")
+                seq = f.readline().rstrip(b"\r\n")
+                plus = f.readline()
+                if not plus.startswith(b"+"):
+                    raise ValueError(f"Malformed FASTQ separator in {path}")
+                qual = f.readline().rstrip(b"\r\n")
+                yield Record(h[1:].decode(), seq, qual)
+        else:
+            name = None
+            chunks: list[bytes] = []
+            for line in f:
+                line = line.rstrip(b"\r\n")
+                if line.startswith(b">"):
+                    if name is not None:
+                        yield Record(name, b"".join(chunks))
+                    name = line[1:].decode()
+                    chunks = []
+                elif line:
+                    chunks.append(line)
+            if name is not None:
+                yield Record(name, b"".join(chunks))
+
+
+def read_records_multi(paths: Sequence[str],
+                       trim5: Sequence[int] | None = None
+                       ) -> Iterator[Record]:
+    """Concatenate records from several files, applying per-file 5' trim."""
+    trims = list(trim5) if trim5 else [0] * len(paths)
+    if len(trims) == 1 and len(paths) > 1:
+        trims = trims * len(paths)
+    if len(trims) != len(paths):
+        raise ValueError("Inconsistent number of inputs and trimming settings.")
+    for p, t in zip(paths, trims):
+        for rec in read_records(p):
+            if t:
+                rec = Record(rec.name, rec.seq[t:],
+                             rec.qual[t:] if rec.qual else None)
+            yield rec
+
+
+def _bucket_len(n: int, quantum: int = 64) -> int:
+    return max(quantum, ((n + quantum - 1) // quantum) * quantum)
+
+
+def encode_batches(records: Iterable[Record], k: int,
+                   target_codes: int = 1 << 24,
+                   max_row: int = 1 << 16) -> Iterator[np.ndarray]:
+    """Yield [rows, row_len] uint8 code batches covering every k-window.
+
+    Sequences longer than `max_row` are split into max_row chunks overlapping
+    by (k-1) bases (the seam).  Rows within a batch share one bucketed length;
+    short rows are padded with the invalid code so their windows mask out.
+    """
+    buckets: dict[int, list[bytes]] = {}
+    sizes: dict[int, int] = {}
+
+    def flush(blen: int) -> np.ndarray:
+        rows = buckets.pop(blen)
+        sizes.pop(blen)
+        arr = np.full((len(rows), blen), 255, np.uint8)
+        for i, s in enumerate(rows):
+            arr[i, :len(s)] = np.frombuffer(s, np.uint8)
+        return encode_ascii(arr)
+
+    for rec in records:
+        seq = rec.seq
+        if len(seq) < k:
+            continue
+        pieces = []
+        if len(seq) <= max_row:
+            pieces.append(seq)
+        else:
+            step = max_row - (k - 1)
+            for start in range(0, len(seq) - (k - 1), step):
+                pieces.append(seq[start:start + max_row])
+        for piece in pieces:
+            blen = _bucket_len(len(piece))
+            buckets.setdefault(blen, []).append(piece)
+            sizes[blen] = sizes.get(blen, 0) + blen
+            if sizes[blen] >= target_codes:
+                yield flush(blen)
+    for blen in sorted(buckets):
+        yield flush(blen)

@@ -1,0 +1,26 @@
+"""Test configuration: force CPU backend with 8 virtual devices so sharded
+paths (all_to_all / psum over a Mesh) are exercised without TPU hardware."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+REFERENCE_DATA = pathlib.Path("/root/reference/tests/data")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def ref_data():
+    if not REFERENCE_DATA.exists():
+        pytest.skip("reference test data not available")
+    return REFERENCE_DATA

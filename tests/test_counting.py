@@ -1,0 +1,100 @@
+"""Count table construction / merge / lookup vs the oracle."""
+
+import numpy as np
+import pytest
+
+import oracle
+from kat_tpu.core import counting, kmers
+
+
+def _encode(seqs, pad_to=None):
+    L = pad_to or max(len(s) for s in seqs)
+    arr = np.full((len(seqs), L), 255, np.uint8)
+    for i, s in enumerate(seqs):
+        arr[i, :len(s)] = np.frombuffer(s.encode(), np.uint8)
+    return kmers.encode_ascii(arr)
+
+
+def _table_dict(table):
+    keys, counts = counting.table_to_numpy(table)
+    return {int(k): int(c) for k, c in zip(keys, counts)}
+
+
+@pytest.mark.parametrize("k", [5, 13, 27])
+def test_count_batch_matches_oracle(k):
+    rng = np.random.default_rng(11 + k)
+    seqs = ["".join(rng.choice(list("ACGTN"), size=80,
+                               p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+            for _ in range(32)]
+    hi, lo, valid = kmers.extract_kmers(_encode(seqs), k, True)
+    table = counting.count_batch(hi, lo, valid)
+    assert _table_dict(table) == dict(oracle.count_seqs(seqs, k, True))
+
+
+def test_table_sorted_and_padded():
+    seqs = ["ACGTACGTACGTACGT"]
+    hi, lo, valid = kmers.extract_kmers(_encode(seqs), 5, True)
+    table = counting.count_batch(hi, lo, valid)
+    n = int(table.n_unique)
+    keys = kmers.join_u64(np.asarray(table.keys_hi), np.asarray(table.keys_lo))
+    assert (np.diff(keys[:n].astype(np.int64)) > 0).all()
+    assert (np.asarray(table.counts)[n:] == 0).all()
+    assert (np.asarray(table.keys_hi)[n:] == kmers.SENTINEL).all()
+
+
+def test_streaming_counter_grows():
+    rng = np.random.default_rng(5)
+    seqs = ["".join(rng.choice(list("ACGT"), size=100)) for _ in range(64)]
+    sc = counting.StreamingCounter(initial_capacity=64)
+    for i in range(0, len(seqs), 16):
+        chunk = seqs[i:i + 16]
+        hi, lo, valid = kmers.extract_kmers(_encode(chunk), 13, True)
+        sc.add(hi, lo, valid)
+    got = _table_dict(sc.finish())
+    assert got == dict(oracle.count_seqs(seqs, 13, True))
+    assert sc.capacity > 64
+
+
+def test_lookup():
+    rng = np.random.default_rng(9)
+    seqs = ["".join(rng.choice(list("ACGT"), size=120)) for _ in range(16)]
+    k = 17
+    hi, lo, valid = kmers.extract_kmers(_encode(seqs), k, True)
+    table = counting.count_batch(hi, lo, valid)
+    expect = oracle.count_seqs(seqs, k, True)
+
+    # present keys
+    present = list(expect.items())[:200]
+    qh = np.array([v >> 32 for v, _ in present], np.uint32)
+    ql = np.array([v & 0xFFFFFFFF for v, _ in present], np.uint32)
+    got = np.asarray(counting.lookup(table, qh, ql))
+    assert (got == np.array([c for _, c in present])).all()
+
+    # absent keys
+    absent = []
+    while len(absent) < 50:
+        v = int(rng.integers(0, 1 << (2 * k)))
+        v = min(v, oracle.revcomp(v, k))
+        if v not in expect:
+            absent.append(v)
+    qh = np.array([v >> 32 for v in absent], np.uint32)
+    ql = np.array([v & 0xFFFFFFFF for v in absent], np.uint32)
+    assert (np.asarray(counting.lookup(table, qh, ql)) == 0).all()
+
+
+def test_merge_tables():
+    rng = np.random.default_rng(13)
+    seqs1 = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(8)]
+    seqs2 = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(8)]
+    k = 9
+    t1 = counting.count_batch(*kmers.extract_kmers(_encode(seqs1), k, True))
+    t2 = counting.count_batch(*kmers.extract_kmers(_encode(seqs2), k, True))
+    merged = counting.merge_tables(t1, t2)
+    assert _table_dict(merged) == dict(oracle.count_seqs(seqs1 + seqs2, k, True))
+
+
+def test_table_from_numpy_roundtrip():
+    keys = np.array([5, 1, 99, 5, 2 ** 50], np.uint64)
+    counts = np.array([2, 1, 7, 3, 9], np.uint32)
+    table = counting.table_from_numpy(keys, counts, capacity=8)
+    assert _table_dict(table) == {1: 1, 5: 5, 99: 7, 2 ** 50: 9}
