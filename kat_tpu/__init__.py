@@ -18,6 +18,24 @@ Public surface:
     kat_tpu.cli       -- `kat`-compatible command line
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: compiles dominate wall clock on TPU
+# (30-40s per sort shape over the device tunnel); cache them across runs.
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    _os.environ.get("KAT_TPU_JAX_CACHE",
+                    _os.path.expanduser("~/.cache/kat_tpu/jax")))
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# 64-bit parity: counters/totals in the reference are uint64 and scale
+# factors are C doubles (e.g. gcp.cc:190 `ceil(count * scale)`).  Hot-path
+# arrays (keys, per-window data) are explicitly uint32 pairs, so this only
+# affects accumulators and host-visible statistics.
+_jax.config.update("jax_enable_x64", True)
+
 __version__ = "0.1.0"
 
 DEFAULT_MER_LEN = 27  # reference: lib/include/kat/jellyfish_helper.hpp:75

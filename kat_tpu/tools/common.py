@@ -1,0 +1,200 @@
+"""Shared tool plumbing: the analogue of KAT's `InputHandler`
+(reference lib/src/input_handler.cc) — glob expansion, file-type sniffing
+(sequence files vs jellyfish hashes), COUNT-vs-LOAD dispatch, 5' trim lists,
+and hash dumping.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import itertools
+import os
+import sys
+from dataclasses import dataclass, field
+from enum import Enum
+
+import numpy as np
+
+from .. import DEFAULT_HASH_SIZE, DEFAULT_MER_LEN
+from ..core import counting, kmers
+from ..io import fastx, jellyfish
+from ..utils.timer import stage
+
+
+class InputMode(Enum):
+    COUNT = 0
+    LOAD = 1
+
+
+def brace_expand(pattern: str) -> list[str]:
+    """Minimal {a,b} brace expansion (glob(3) GLOB_BRACE)."""
+    i = pattern.find("{")
+    if i < 0:
+        return [pattern]
+    depth = 0
+    for j in range(i, len(pattern)):
+        if pattern[j] == "{":
+            depth += 1
+        elif pattern[j] == "}":
+            depth -= 1
+            if depth == 0:
+                inner = pattern[i + 1:j]
+                parts = []
+                d = 0
+                last = 0
+                for t, ch in enumerate(inner):
+                    if ch == "{":
+                        d += 1
+                    elif ch == "}":
+                        d -= 1
+                    elif ch == "," and d == 0:
+                        parts.append(inner[last:t])
+                        last = t + 1
+                parts.append(inner[last:])
+                out = []
+                for p in parts:
+                    out.extend(brace_expand(pattern[:i] + p + pattern[j + 1:]))
+                return out
+    return [pattern]
+
+
+def glob_files(spec: str | list[str]) -> list[str]:
+    """Glob expansion mirroring InputHandler::globFiles (input_handler.cc:
+    245-316): space-separated patterns, tilde + brace expansion, NOCHECK
+    (pattern kept verbatim when nothing matches)."""
+    if isinstance(spec, str):
+        patterns = spec.split(" ")
+    else:
+        patterns = list(spec)
+    out: list[str] = []
+    for raw in patterns:
+        if not raw:
+            continue
+        matched_any = False
+        for pat in brace_expand(os.path.expanduser(raw)):
+            hits = sorted(_glob.glob(pat))
+            if hits:
+                out.extend(hits)
+                matched_any = True
+        if not matched_any:
+            out.append(raw)
+    if not out:
+        raise ValueError("No input provided for this input group")
+    return out
+
+
+@dataclass
+class Input:
+    """One input group: either sequence files to count or a .jf to load."""
+    paths: list[str]
+    index: int = 1
+    canonical: bool = True
+    mer_len: int = DEFAULT_MER_LEN
+    hash_size: int = DEFAULT_HASH_SIZE
+    trim5: list[int] = field(default_factory=list)
+    dump_hash: bool = False
+    disable_grow: bool = False
+    mode: InputMode = InputMode.COUNT
+    table: counting.CountTable | None = None
+    header: jellyfish.JfHeader | None = None
+
+    def validate(self) -> None:
+        if self.trim5 and len(self.trim5) not in (1, len(self.paths)):
+            raise ValueError(
+                "Inconsistent number of inputs and trimming settings.")
+        mode = None
+        for p in self.paths:
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"Could not find input file at: {p}; please check the "
+                    "path and try again.")
+            m = (InputMode.COUNT if fastx.is_sequence_file(p)
+                 else InputMode.LOAD)
+            if mode is None:
+                mode = m
+            elif m != mode:
+                raise ValueError(
+                    "Cannot mix sequence files and jellyfish hashes.  "
+                    f"Input: {p}")
+        self.mode = mode or InputMode.COUNT
+
+    # -- naming helpers (input_handler.cc:160-178) --
+    def path_string(self) -> str:
+        return " ".join(self.paths)
+
+    def file_name(self) -> str:
+        return " ".join(os.path.basename(p) for p in self.paths)
+
+    # -- counting / loading --
+    def count(self, quiet: bool = False) -> None:
+        # Start small and let the streaming counter double as needed; the
+        # user's hash_size is an upper bound like jellyfish's initial size.
+        cap0 = 1 << 20
+        with stage(f"Input {self.index} is a sequence file.  Counting kmers "
+                   f"for input {self.index} ({self.path_string()})",
+                   quiet=quiet):
+            sc = counting.StreamingCounter(
+                initial_capacity=min(cap0, _next_pow2(self.hash_size)),
+                max_capacity=max(_next_pow2(self.hash_size), cap0),
+                disable_grow=self.disable_grow)
+            recs = fastx.read_records_multi(self.paths, self.trim5 or None)
+            for batch in fastx.encode_batches(recs, self.mer_len):
+                hi, lo, valid = kmers.extract_kmers(
+                    batch, self.mer_len, self.canonical)
+                sc.add(hi, lo, valid)
+            self.table = sc.finish()
+        self.header = jellyfish.JfHeader(
+            key_len=2 * self.mer_len, counter_len=4,
+            canonical=self.canonical,
+            size=_next_pow2(2 * int(self.table.n_unique)))
+
+    def load(self, quiet: bool = False) -> None:
+        with stage("Loading hashes into memory", quiet=quiet):
+            hdr, keys, counts = jellyfish.read_jf(self.paths[0])
+            self.header = hdr
+            self.canonical = hdr.canonical
+            self.mer_len = hdr.mer_len
+            self.table = counting.table_from_numpy(
+                keys, counts, capacity=_next_pow2(max(len(keys), 1)))
+
+    def validate_mer_len(self, mer_len: int) -> None:
+        if self.mode == InputMode.LOAD and self.header is not None:
+            if self.header.key_len != mer_len * 2:
+                raise ValueError(
+                    "Cannot process hashes that were created with different "
+                    f"K-mer lengths.  Expected: {mer_len}.  Key length was "
+                    f"{self.header.key_len // 2} for : {self.paths[0]}")
+
+    def count_or_load(self, quiet: bool = False) -> None:
+        if self.mode == InputMode.COUNT:
+            self.count(quiet=quiet)
+        else:
+            self.load(quiet=quiet)
+
+    def dump(self, out_path: str, quiet: bool = False) -> None:
+        if self.mode == InputMode.COUNT:
+            with stage(f"Dumping hash to {out_path}", quiet=quiet):
+                if os.path.lexists(out_path):
+                    os.remove(out_path)
+                keys, counts = counting.table_to_numpy(self.table)
+                jellyfish.write_jf(out_path, keys, counts, self.mer_len,
+                                   self.canonical,
+                                   cmdline=list(sys.argv))
+        else:
+            if os.path.lexists(out_path):
+                os.remove(out_path)
+            os.symlink(self.paths[0], out_path)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(1, int(np.ceil(np.log2(max(int(n), 2)))))
+
+
+def parse_trim_list(spec: str) -> list[int]:
+    """Comma-separated 5' trim values (histogram.cc:334-337)."""
+    return [int(v) for v in spec.split(",")]
+
+
+def ensure_parent_dir(path_prefix: str) -> None:
+    parent = os.path.dirname(os.path.abspath(path_prefix))
+    os.makedirs(parent, exist_ok=True)
