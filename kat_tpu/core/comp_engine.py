@@ -1,0 +1,134 @@
+"""Device-side comparison kernels for `kat comp`.
+
+The reference walks hash1 slice-parallel, randomly probing hash2/hash3 per key
+(src/comp.cc:366-484 `compareSlice`).  Here both tables are sorted arrays, so
+every "random probe" becomes a vectorized binary-search gather
+(`counting.lookup`) and all counters/matrices/spectra are scatter-add
+reductions — three fused passes instead of a mutex-merged thread pool.
+
+Quirk parity (SURVEY §5.1.2): in the reference's pass 2 the canonical flag
+argument receives a *pointer* (`src/comp.cc:447`), i.e. always true, so pass-2
+queries into hash1 are canonicalized regardless of how hash1 was counted.
+`pass2` reproduces exactly that.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .counting import CountTable, lookup
+from .kmers import SENTINEL, canonicalize
+from .stats import spectrum
+
+
+def _scale_clamp(counts: jax.Array, scale: float, bins: int) -> jax.Array:
+    """scaleCounter + clamp (comp.hpp:303-306, comp.cc:458-463)."""
+    c = counts.astype(jnp.float64)
+    scaled = jnp.where(counts == 0, 0,
+                       jnp.ceil(c * scale)).astype(jnp.int64)
+    return jnp.minimum(scaled, bins - 1).astype(jnp.int32)
+
+
+def _maybe_canonical(keys_hi, keys_lo, k: int, canonical: bool):
+    if canonical:
+        return canonicalize(keys_hi, keys_lo, k)
+    return keys_hi, keys_lo
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "d1_bins", "d2_bins", "dm_size", "canon2", "canon3", "three",
+    "d1_scale", "d2_scale"))
+def pass1(t1: CountTable, t2: CountTable, t3: CountTable | None,
+          k: int, d1_bins: int, d2_bins: int, dm_size: int,
+          d1_scale: float, d2_scale: float,
+          canon2: bool, canon3: bool, three: bool):
+    """Iterate hash1 entries; probe hash2 (and hash3).  Returns counters,
+    spectra and matrices (comp.cc:366-433)."""
+    real = ~((t1.keys_hi == SENTINEL) & (t1.keys_lo == SENTINEL))
+    h1 = jnp.where(real, t1.counts, 0).astype(jnp.uint64)
+
+    qh, ql = _maybe_canonical(t1.keys_hi, t1.keys_lo, k, canon2)
+    h2 = lookup(t2, qh, ql).astype(jnp.uint64)
+    h2 = jnp.where(real, h2, 0)
+    if three:
+        qh3, ql3 = _maybe_canonical(t1.keys_hi, t1.keys_lo, k, canon3)
+        h3 = jnp.where(real, lookup(t3, qh3, ql3).astype(jnp.uint64), 0)
+    else:
+        h3 = jnp.zeros_like(h1)
+
+    w = real.astype(jnp.uint64)
+    shared = real & (h1 > 0) & (h2 > 0)
+    ws = shared.astype(jnp.uint64)
+
+    counters = {
+        "hash1_total": jnp.sum(h1),
+        "hash1_distinct": jnp.sum(w),
+        "hash1_only_total": jnp.sum(jnp.where(real & (h2 == 0), h1, 0)),
+        "hash1_only_distinct": jnp.sum(w * (h2 == 0)),
+        "shared_hash1_total": jnp.sum(jnp.where(shared, h1, 0)),
+        "shared_hash2_total": jnp.sum(jnp.where(shared, h2, 0)),
+        "shared_distinct": jnp.sum(ws),
+    }
+    spectrum1 = spectrum(h1, w, dm_size)
+    shared_spectrum1 = spectrum(h1, ws, dm_size)
+    shared_spectrum2 = spectrum(h2, ws, dm_size)
+
+    s1 = _scale_clamp(h1, d1_scale, d1_bins)
+    s2 = _scale_clamp(h2, d2_scale, d2_bins)
+    main_mx = jnp.zeros((d1_bins, d2_bins), jnp.uint64).at[s1, s2].add(w)
+
+    if three:
+        s3 = _scale_clamp(h3, d2_scale, d2_bins)
+        ends_w = w * (s2 == s3)
+        mixed_w = w * ((s2 != s3) & (h3 > 0))
+        middle_w = w * ((s2 != s3) & (h3 == 0))
+        ends_mx = jnp.zeros((d1_bins, d2_bins), jnp.uint64).at[s1, s3].add(
+            ends_w)
+        mixed_mx = jnp.zeros((d1_bins, d2_bins), jnp.uint64).at[s1, s3].add(
+            mixed_w)
+        middle_mx = jnp.zeros((d1_bins, d2_bins), jnp.uint64).at[s1, s3].add(
+            middle_w)
+    else:
+        ends_mx = mixed_mx = middle_mx = None
+
+    return counters, spectrum1, shared_spectrum1, shared_spectrum2, \
+        main_mx, ends_mx, mixed_mx, middle_mx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "d2_bins", "dm_size",
+                                             "d2_scale"))
+def pass2(t2: CountTable, t1: CountTable, k: int, d2_bins: int, dm_size: int,
+          d2_scale: float):
+    """Iterate hash2 entries; probe hash1 (comp.cc:436-463).  Queries are
+    ALWAYS canonicalized — the reference's pointer-as-bool bug (§5.1.2)."""
+    real = ~((t2.keys_hi == SENTINEL) & (t2.keys_lo == SENTINEL))
+    h2 = jnp.where(real, t2.counts, 0).astype(jnp.uint64)
+    qh, ql = canonicalize(t2.keys_hi, t2.keys_lo, k)
+    h1 = jnp.where(real, lookup(t1, qh, ql).astype(jnp.uint64), 0)
+
+    w = real.astype(jnp.uint64)
+    only = real & (h1 == 0)
+    counters = {
+        "hash2_total": jnp.sum(h2),
+        "hash2_distinct": jnp.sum(w),
+        "hash2_only_total": jnp.sum(jnp.where(only, h2, 0)),
+        "hash2_only_distinct": jnp.sum(w * (h1 == 0)),
+    }
+    spectrum2 = spectrum(h2, w, dm_size)
+
+    s2 = _scale_clamp(h2, d2_scale, d2_bins)
+    row0 = jnp.zeros((d2_bins,), jnp.uint64).at[s2].add(
+        only.astype(jnp.uint64))
+    return counters, spectrum2, row0
+
+
+@jax.jit
+def pass3(t3: CountTable):
+    """Totals over hash3 (comp.cc:466-479)."""
+    real = ~((t3.keys_hi == SENTINEL) & (t3.keys_lo == SENTINEL))
+    h3 = jnp.where(real, t3.counts, 0).astype(jnp.uint64)
+    return {"hash3_total": jnp.sum(h3),
+            "hash3_distinct": jnp.sum(real.astype(jnp.uint64))}

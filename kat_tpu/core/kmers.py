@@ -152,6 +152,18 @@ def reverse_complement(hi: jax.Array, lo: jax.Array, k: int):
     return out_hi & mask_hi, out_lo & mask_lo
 
 
+def canonicalize(hi: jax.Array, lo: jax.Array, k: int):
+    """min(key, revcomp(key)) per element (mer_dna.hpp:436 get_canonical),
+    preserving SENTINEL padding keys (whose revcomp would otherwise alias the
+    poly-A k-mer 0)."""
+    rhi, rlo = reverse_complement(hi, lo, k)
+    less = (rhi < hi) | ((rhi == hi) & (rlo < lo))
+    chi = jnp.where(less, rhi, hi)
+    clo = jnp.where(less, rlo, lo)
+    is_sent = (hi == SENTINEL) & (lo == SENTINEL)
+    return (jnp.where(is_sent, hi, chi), jnp.where(is_sent, lo, clo))
+
+
 def key_mask(k: int):
     """(hi, lo) uint32 masks covering the 2k used bits."""
     bits = 2 * k

@@ -3,7 +3,10 @@ paths (all_to_all / psum over a Mesh) are exercised without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the ambient environment points JAX at TPU hardware
+# (e.g. JAX_PLATFORMS=axon over a device tunnel): tests exercise sharding on
+# virtual CPU devices; only benchmarks should touch the real chip.
+os.environ["JAX_PLATFORMS"] = os.environ.get("KAT_TPU_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
