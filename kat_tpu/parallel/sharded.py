@@ -1,0 +1,248 @@
+"""K-mer-space sharded counting over a `jax.sharding.Mesh`.
+
+This is the TPU-native replacement for jellyfish's single shared CAS hash
+(reference deps/jellyfish-2.2.0/include/jellyfish/hash_counter.hpp
+`cooperative::hash_counter` + large_hash_array.hpp `add`/`claim_key`; SURVEY
+§2.5 P2/P3/P9): instead of N pthreads CAS-inserting into one mmap'd array,
+every device
+
+  1. extracts k-mers from its slice of the read batch (data parallelism —
+     the reference's cooperative input pool, P1),
+  2. routes each k-mer to its *owner shard* `mix(key) % n_devices` with a
+     tiled `all_to_all` over the mesh (the moral equivalent of TP/EP
+     sharding),
+  3. sort+segment-reduces arrivals into its resident shard table
+     (deterministic, functional — no CAS, no barriers).
+
+Low-dimensional results (histograms, GC matrices, comp counters) are then
+per-shard reductions merged with `psum` (P4).  Tables never need a
+cooperative resize barrier (P7): capacity is static per shard and overflow
+is reported to the host, which re-launches at 2x — the observable behaviour
+of hash_counter.hpp:204-244's size doubling.
+
+Everything works on any mesh shape, including multi-axis meshes where the
+batch is additionally split over a data-parallel axis: pass all axis names in
+`axis_names`; routing runs over the flattened device space.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.counting import CountTable, _unique_reduce, table_from_numpy
+from ..core.kmers import SENTINEL, extract_kmers
+
+
+def make_mesh(n_devices: int | None = None,
+              shape: Sequence[int] | None = None,
+              axis_names: Sequence[str] = ("shards",)) -> Mesh:
+    """Mesh over the first n devices; default 1D axis "shards"."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    shape = tuple(shape) if shape is not None else (n,)
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"mesh shape {shape} != {n} devices")
+    arr = np.asarray(devs[:n]).reshape(shape)
+    return Mesh(arr, tuple(axis_names))
+
+
+def shard_hash(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """32-bit finalizer-style mixer over the packed key.
+
+    Plays the role of jellyfish's random GF(2) matrix hash
+    (rectangular_binary_matrix.hpp:138-146) for shard ownership: k-mer keys
+    are highly structured (low entropy in high bits), so counts would skew
+    badly under a plain modulo.  murmur3-fmix32 over hi^rot(lo) spreads them.
+    """
+    x = (hi ^ jnp.uint32(0x9E3779B9)) * jnp.uint32(0x85EBCA6B)
+    x = x ^ (lo * jnp.uint32(0xC2B2AE35))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _route_local(hi, lo, w, n_dest: int, cap: int):
+    """Bucket local k-mers by destination shard into a [n_dest, cap] buffer.
+
+    Zero-weight (invalid/padding) entries are parked in a virtual overflow
+    destination so they can't flood a real bucket.  Returns (hi, lo, w)
+    buffers plus the number of *real* k-mers dropped because a bucket
+    overflowed (host checks and re-launches with bigger cap).
+    """
+    W = hi.shape[0]
+    dest = (shard_hash(hi, lo) % jnp.uint32(n_dest)).astype(jnp.int32)
+    dest = jnp.where(w > 0, dest, n_dest)  # park padding
+    d_s, hi_s, lo_s, w_s = jax.lax.sort(
+        (dest, hi, lo, w.astype(jnp.uint32)), num_keys=1)
+
+    idx = jnp.arange(W, dtype=jnp.int32)
+    is_first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                d_s[1:] != d_s[:-1]])
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_first, idx, 0))
+    pos = idx - seg_start
+
+    in_range = (pos < cap) & (d_s < n_dest)
+    target = jnp.where(in_range, d_s * cap + pos, n_dest * cap)
+    buf_hi = jnp.full((n_dest * cap,), SENTINEL, jnp.uint32).at[target].set(
+        hi_s, mode="drop")
+    buf_lo = jnp.full((n_dest * cap,), SENTINEL, jnp.uint32).at[target].set(
+        lo_s, mode="drop")
+    buf_w = jnp.zeros((n_dest * cap,), jnp.uint32).at[target].set(
+        w_s, mode="drop")
+    dropped = jnp.sum(jnp.where((~in_range) & (d_s < n_dest), w_s, 0),
+                      dtype=jnp.uint64)
+    return (buf_hi.reshape(n_dest, cap), buf_lo.reshape(n_dest, cap),
+            buf_w.reshape(n_dest, cap), dropped)
+
+
+def _count_step_local(codes, thi, tlo, tc, *, k: int, canonical: bool,
+                      n_dest: int, route_cap: int, table_cap: int,
+                      axis_names: tuple[str, ...]):
+    """Per-device body: extract -> route (all_to_all) -> absorb."""
+    codes = codes.reshape(-1, codes.shape[-1])
+    hi, lo, valid = extract_kmers(codes, k, canonical)
+    hi = hi.reshape(-1)
+    lo = lo.reshape(-1)
+    w = valid.reshape(-1).astype(jnp.uint32)
+
+    bhi, blo, bw, dropped = _route_local(hi, lo, w, n_dest, route_cap)
+    rhi = jax.lax.all_to_all(bhi, axis_names, 0, 0, tiled=True)
+    rlo = jax.lax.all_to_all(blo, axis_names, 0, 0, tiled=True)
+    rw = jax.lax.all_to_all(bw, axis_names, 0, 0, tiled=True)
+
+    chi = jnp.concatenate([thi.reshape(-1), rhi.reshape(-1)])
+    clo = jnp.concatenate([tlo.reshape(-1), rlo.reshape(-1)])
+    cw = jnp.concatenate([tc.reshape(-1), rw.reshape(-1)])
+    nhi, nlo, nc, n_unique = _unique_reduce(chi, clo, cw, table_cap)
+
+    dropped = jax.lax.psum(dropped, axis_names)
+    return (nhi[None], nlo[None], nc[None], n_unique[None], dropped)
+
+
+class ShardedCounter:
+    """Streaming k-mer counter whose table lives sharded across a mesh.
+
+    Local shard tables are [1, capacity] slices of a [n_devices, capacity]
+    global array.  `add_codes` absorbs one [rows, L] uint8 code batch (rows
+    divisible by n_devices).  `finish` returns a host-merged CountTable;
+    `histogram` reduces on device and `psum`s.
+    """
+
+    def __init__(self, mesh: Mesh, k: int, canonical: bool = True,
+                 shard_capacity: int = 1 << 18,
+                 route_slack: float = 2.0):
+        self.mesh = mesh
+        self.axis_names = tuple(mesh.axis_names)
+        self.k = k
+        self.canonical = canonical
+        self.n = int(np.prod(mesh.devices.shape))
+        self.shard_capacity = int(shard_capacity)
+        self.route_slack = float(route_slack)
+        self.dropped = 0
+
+        spec = P(self.axis_names if len(self.axis_names) > 1
+                 else self.axis_names[0], None)
+        self._tspec = spec
+        self._tsharding = NamedSharding(mesh, spec)
+        zeros_k = jnp.full((self.n, self.shard_capacity), SENTINEL,
+                           jnp.uint32)
+        zeros_c = jnp.zeros((self.n, self.shard_capacity), jnp.uint32)
+        nuniq = jnp.zeros((self.n,), jnp.int32)
+        self.thi = jax.device_put(zeros_k, self._tsharding)
+        self.tlo = jax.device_put(zeros_k, self._tsharding)
+        self.tc = jax.device_put(zeros_c, self._tsharding)
+        self.n_unique = jax.device_put(
+            nuniq, NamedSharding(mesh, P(spec[0])))
+        self._steps: dict = {}
+
+    def _step_fn(self, rows: int, length: int):
+        key = (rows, length)
+        if key not in self._steps:
+            windows = (rows // self.n) * (length - self.k + 1)
+            route_cap = int(min(
+                windows,
+                np.ceil(windows / self.n * self.route_slack)))
+            route_cap = max(route_cap, 1)
+            spec = self._tspec
+            nspec = P(spec[0])
+            body = functools.partial(
+                _count_step_local, k=self.k, canonical=self.canonical,
+                n_dest=self.n, route_cap=route_cap,
+                table_cap=self.shard_capacity, axis_names=self.axis_names)
+            fn = shard_map(
+                body, mesh=self.mesh,
+                in_specs=(spec, spec, spec, spec),
+                out_specs=(spec, spec, spec, nspec, P()),
+)
+            self._steps[key] = jax.jit(fn, donate_argnums=(1, 2, 3))
+        return self._steps[key]
+
+    def add_codes(self, codes) -> None:
+        codes = jnp.asarray(codes, jnp.uint8)
+        rows, length = codes.shape
+        if rows % self.n:
+            pad = self.n - rows % self.n
+            codes = jnp.concatenate(
+                [codes, jnp.full((pad, length), 255, jnp.uint8)])
+            rows += pad
+        codes = jax.device_put(codes, self._tsharding)
+        fn = self._step_fn(rows, length)
+        self.thi, self.tlo, self.tc, self.n_unique, dropped = fn(
+            codes, self.thi, self.tlo, self.tc)
+        self.dropped += int(dropped)
+
+    def check(self) -> None:
+        if self.dropped:
+            raise RuntimeError(
+                f"{self.dropped} k-mers dropped in routing; increase "
+                "route_slack")
+        n_u = np.asarray(self.n_unique)
+        if (n_u > self.shard_capacity).any():
+            raise RuntimeError(
+                f"shard table overflow: {n_u.max()} unique keys > capacity "
+                f"{self.shard_capacity}")
+
+    def finish(self) -> CountTable:
+        """Merge shard tables into one host-side sorted CountTable."""
+        self.check()
+        hi = np.asarray(self.thi, np.uint64)
+        lo = np.asarray(self.tlo, np.uint64)
+        c = np.asarray(self.tc, np.uint32)
+        keys = (hi << np.uint64(32)) | lo
+        n_u = np.asarray(self.n_unique)
+        parts_k = [keys[i, :n_u[i]] for i in range(self.n)]
+        parts_c = [c[i, :n_u[i]] for i in range(self.n)]
+        all_k = np.concatenate(parts_k) if parts_k else np.zeros(0, np.uint64)
+        all_c = np.concatenate(parts_c) if parts_c else np.zeros(0, np.uint32)
+        cap = 1 << max(1, int(np.ceil(np.log2(max(len(all_k), 2)))))
+        return table_from_numpy(all_k, all_c, capacity=cap)
+
+    def histogram(self, base: int, ceil: int, inc: int,
+                  nb_buckets: int) -> np.ndarray:
+        """Sharded histogram: per-shard bincount + psum (SURVEY P3/P4)."""
+        self.check()
+        spec = self._tspec
+
+        def local_hist(counts):
+            c = counts.reshape(-1).astype(jnp.int64)
+            bucket = jnp.where(c < base, 0,
+                               jnp.where(c > ceil, nb_buckets - 1,
+                                         (c - base) // inc)).astype(jnp.int32)
+            w = (c > 0).astype(jnp.uint64)
+            h = jnp.zeros((nb_buckets,), jnp.uint64).at[bucket].add(w)
+            return jax.lax.psum(h, self.axis_names)
+
+        fn = shard_map(local_hist, mesh=self.mesh, in_specs=(spec,),
+                       out_specs=P())
+        return np.asarray(jax.jit(fn)(self.tc), np.uint64)

@@ -2,11 +2,17 @@
 paths (all_to_all / psum over a Mesh) are exercised without TPU hardware."""
 
 import os
+import pathlib
+import sys
 
-# Force CPU even when the ambient environment points JAX at TPU hardware
-# (e.g. JAX_PLATFORMS=axon over a device tunnel): tests exercise sharding on
-# virtual CPU devices; only benchmarks should touch the real chip.
-os.environ["JAX_PLATFORMS"] = os.environ.get("KAT_TPU_TEST_PLATFORM", "cpu")
+# Force CPU even when the ambient environment points JAX at TPU hardware:
+# tests exercise sharding on 8 virtual CPU devices; only benchmarks should
+# touch the real chip.  The TPU-tunnel sitecustomize registers its PJRT
+# plugin at interpreter start and hijacks platform selection, so setting
+# JAX_PLATFORMS alone is not enough: drop the plugin's backend factory
+# before any backend is instantiated.
+_want = os.environ.get("KAT_TPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _want
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,8 +21,13 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/kat_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
-import pathlib
-import sys
+if _want == "cpu":
+    import jax
+    from jax._src import xla_bridge as _xb
+
+    for _plat in ("axon", "tpu"):
+        _xb._backend_factories.pop(_plat, None)
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
