@@ -41,7 +41,9 @@ def cosine(s1, s2) -> float:
     dot = float((a * b).sum())
     na = float((a * a).sum())
     nb = float((b * b).sum())
-    return 1.0 - dot / (np.sqrt(na) * np.sqrt(nb))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # 0/0 -> nan, exactly like the C++ double division
+        return float(1.0 - np.float64(dot) / (np.sqrt(na) * np.sqrt(nb)))
 
 
 def canberra(s1, s2) -> float:
@@ -58,7 +60,9 @@ def jaccard(s1, s2) -> float:
     b = np.asarray(s2, np.uint64)
     mins = float(np.minimum(a, b).sum(dtype=np.float64))
     maxs = float(np.maximum(a, b).sum(dtype=np.float64))
-    return 1.0 - mins / maxs
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # 0/0 -> nan, exactly like the C++ double division
+        return float(1.0 - np.float64(mins) / np.float64(maxs))
 
 
 ALL_METRICS = [
