@@ -1,0 +1,100 @@
+"""Distribution-analysis parity tests: run BOTH this package's analysis and
+the reference's scripts/kat/distanalysis.py (as a subprocess) on the
+reference's python test fixtures and compare the emitted
+`.dist_analysis.json` stats (the reference's own test tier only asserts the
+JSON file is produced — we diff the values)."""
+
+import json
+import math
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+from kat_tpu.analysis import distanalysis
+
+RES = pathlib.Path("/root/reference/scripts/test/resources")
+KAT_HIST = pathlib.Path("/root/reference/tests/data/kat.hist")
+REF_SCRIPT = pathlib.Path("/root/reference/scripts/kat/distanalysis.py")
+
+
+@pytest.fixture(autouse=True)
+def _need_fixtures():
+    if not RES.exists():
+        pytest.skip("reference python test resources unavailable")
+
+
+def _run_reference(input_file, out_prefix):
+    env = {"PYTHONPATH": "/root/reference/scripts",
+           "PATH": "/usr/bin:/bin", "MPLBACKEND": "Agg",
+           "HOME": "/tmp"}
+    subprocess.run(
+        [sys.executable, str(REF_SCRIPT), "-o", str(out_prefix),
+         str(input_file)],
+        env=env, check=True, capture_output=True, timeout=600)
+    return json.load(open(str(out_prefix) + ".dist_analysis.json"))
+
+
+def _run_ours(input_file, out_prefix):
+    a = distanalysis.analyse_file(str(input_file))
+    a.analyse(min_elements=10000)
+    a.peak_stats(str(out_prefix))
+    return json.load(open(str(out_prefix) + ".dist_analysis.json"))
+
+
+def _assert_close(got, want, path="$"):
+    if isinstance(want, dict):
+        assert set(got) == set(want), path
+        for k in want:
+            _assert_close(got[k], want[k], f"{path}.{k}")
+    elif isinstance(want, list):
+        assert len(got) == len(want), path
+        for i, (g, w) in enumerate(zip(got, want)):
+            _assert_close(g, w, f"{path}[{i}]")
+    elif isinstance(want, float):
+        assert math.isclose(got, want, rel_tol=1e-3, abs_tol=1e-6), \
+            f"{path}: {got} != {want}"
+    else:
+        assert got == want, f"{path}: {got} != {want}"
+
+
+@pytest.mark.parametrize("fixture", ["hist1.hist", "gcp1.mx",
+                                     "spectracn1.mx", "spectracn2.mx"])
+def test_parity_with_reference(tmp_path, fixture):
+    want = _run_reference(RES / fixture, tmp_path / "ref")
+    got = _run_ours(RES / fixture, tmp_path / "got")
+    _assert_close(got, want)
+
+
+def test_kat_hist_golden_peak(tmp_path):
+    """kat.hist's global maximum is at frequency 229 with 9762 distinct
+    k-mers (reference tests/check_spectra_helper.cc:56-57); the fitted
+    homozygous peak must land on it."""
+    a = distanalysis.analyse_file(str(KAT_HIST))
+    a.analyse(min_elements=10000)
+    s = a.spectra
+    # histogram[i] is the count at frequency i+1 (hist lines start at 1),
+    # so the golden (229, 9762) peak sits at index 228.
+    assert s.fmax == 228
+    assert int(s.histogram[s.fmax]) == 9762
+    stats = s.calc_stats()
+    assert abs(stats["hom_peak"]["freq"] - 228) <= 2
+    assert stats["est_genome_size"] > 0
+
+
+def test_properties_sniffing():
+    k, mx, gcp = distanalysis.get_properties_from_file(str(KAT_HIST))
+    assert (mx, gcp) == (False, False)
+    k, mx, gcp = distanalysis.get_properties_from_file(str(RES / "gcp1.mx"))
+    assert mx and gcp
+    k, mx, gcp = distanalysis.get_properties_from_file(
+        str(RES / "spectracn1.mx"))
+    assert mx and not gcp
+
+
+def test_plot_files(tmp_path):
+    a = distanalysis.analyse_file(str(KAT_HIST))
+    a.analyse(min_elements=10000)
+    a.plot(file_prefix=str(tmp_path / "p"), format="png", to_screen=False)
+    assert (tmp_path / "p.kmerfreq_distributions.png").exists()
