@@ -2,15 +2,16 @@
 
 Measures the `kat hist` hot path — the replacement for jellyfish's
 multithreaded CAS-hash counting loop (reference
-lib/src/jellyfish_helper.cc:219-246 countSeqFile / countSlice) — as one
-fused device step: 2-bit windows -> canonical pack -> sort -> segment-reduce
--> absorb into resident table.
+lib/src/jellyfish_helper.cc:219-246 countSeqFile / countSlice) — end to end
+on device: 2-bit windows -> canonical pack -> buffered LSM flush ->
+sort+segment-reduce into the resident table.
+
+Workload: reads sampled from a simulated 8.4Mbp genome (E. coli scale) at
+~16x coverage, the shape of the reference's own test configs (BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 1e9 (the BASELINE.json north-star of >1e9 canonical
-k-mers/s/host; the reference publishes no numbers of its own — BASELINE.md).
-
-Run on whatever `jax.devices()` offers (real TPU chip under the driver).
+k-mers/s/host; the reference publishes no numbers of its own).
 """
 
 from __future__ import annotations
@@ -29,32 +30,43 @@ def main() -> None:
     k = 27
     rows, length = 4096, 1024          # ~4.1M windows per batch
     windows = rows * (length - k + 1)
-    table_cap = 1 << 23
-    warm_steps = 2
-    steps = 8
+    genome_len = 1 << 23               # 8.4 Mbp simulated genome
+    table_cap = 1 << 24
+    flush_windows = 1 << 25            # LSM flush: ~8 batches per merge
+    warm_batches = 9                   # exercises one full flush
+    bench_batches = 24                 # three flushes
 
     rng = np.random.default_rng(42)
-    batches = [rng.integers(0, 4, size=(rows, length), dtype=np.uint8)
-               for _ in range(2)]
+    genome = rng.integers(0, 4, size=genome_len + length, dtype=np.uint8)
+    read_view = np.lib.stride_tricks.sliding_window_view(genome, length)
 
-    table = counting.empty_table(table_cap)
+    def make_batch():
+        offsets = rng.integers(0, genome_len, size=rows)
+        return np.ascontiguousarray(read_view[offsets])
 
-    def step(table, codes):
-        hi, lo, valid = kmers.extract_kmers(codes, k, canonical=True)
-        return counting.absorb_batch(table, hi, lo, valid, table_cap)
+    dev_batches = [jax.device_put(make_batch()) for _ in range(4)]
 
-    dev_batches = [jax.device_put(b) for b in batches]
-    for i in range(warm_steps):
-        table = step(table, dev_batches[i % 2])
-    jax.block_until_ready(table)
+    def extract(codes):
+        return kmers.extract_kmers(codes, k, canonical=True)
+
+    sc = counting.StreamingCounter(
+        initial_capacity=table_cap, max_capacity=1 << 26,
+        flush_windows=flush_windows)
+
+    for i in range(warm_batches):
+        sc.add(*extract(dev_batches[i % 4]))
+    sc._flush()
+    _ = int(sc.table.n_unique)  # force pending device work to complete
 
     t0 = time.perf_counter()
-    for i in range(steps):
-        table = step(table, dev_batches[i % 2])
-    jax.block_until_ready(table)
+    for i in range(bench_batches):
+        sc.add(*extract(dev_batches[i % 4]))
+    sc._flush()
+    _ = int(sc.table.n_unique)  # device sync (block_until_ready is
+    #                             unreliable over the remote tunnel)
     dt = time.perf_counter() - t0
 
-    kmers_per_s = steps * windows / dt
+    kmers_per_s = bench_batches * windows / dt
     print(json.dumps({
         "metric": "canonical_kmers_per_s",
         "value": round(kmers_per_s, 1),

@@ -1,0 +1,104 @@
+"""ctypes bindings for the native FASTX reader (kat_tpu/native/fastxio.cpp).
+
+The native reader is the framework's equivalent of jellyfish's C++
+mer_overlap_sequence_parser + stream_manager hot path (SURVEY §2.2): it
+parses FASTA/FASTQ(.gz) and emits densely packed, already-2-bit-encoded
+[rows, row_len] uint8 batches with record separators and (k-1) seams, ready
+for device upload.  Built on demand with g++ (cached in ~/.cache/kat_tpu);
+callers fall back to the pure-Python path when unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Iterator
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native",
+                    "fastxio.cpp")
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_lib_failed = False
+
+
+def _build_lib() -> str | None:
+    cache = os.environ.get(
+        "KAT_TPU_NATIVE_CACHE",
+        os.path.expanduser("~/.cache/kat_tpu/native"))
+    os.makedirs(cache, exist_ok=True)
+    so = os.path.join(cache, "libfastxio.so")
+    if (os.path.exists(so)
+            and os.path.getmtime(so) >= os.path.getmtime(_SRC)):
+        return so
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+           "-o", so + ".tmp", "-lz"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(so + ".tmp", so)
+        return so
+    except (subprocess.SubprocessError, OSError):
+        return None
+
+
+def get_lib() -> ctypes.CDLL | None:
+    global _lib, _lib_failed
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        so = _build_lib()
+        if so is None:
+            _lib_failed = True
+            return None
+        lib = ctypes.CDLL(so)
+        lib.kat_fastx_open.restype = ctypes.c_void_p
+        lib.kat_fastx_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.kat_fastx_close.argtypes = [ctypes.c_void_p]
+        lib.kat_fastx_next_codes.restype = ctypes.c_int64
+        lib.kat_fastx_next_codes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def stream_code_batches(paths: list[str], k: int,
+                        trim5: list[int] | None = None,
+                        rows: int = 4096,
+                        row_len: int = 1024) -> Iterator[np.ndarray]:
+    """Yield dense [<=rows, row_len] uint8 code batches across files.
+
+    Records are packed back to back with invalid separators; a record split
+    across rows repeats its (k-1)-base seam so every k-window appears
+    exactly once.  Raises RuntimeError if the native library is missing.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native fastxio library unavailable")
+    trims = list(trim5) if trim5 else [0] * len(paths)
+    if len(trims) == 1 and len(paths) > 1:
+        trims = trims * len(paths)
+    buf = np.empty((rows, row_len), np.uint8)
+    for path, trim in zip(paths, trims):
+        h = lib.kat_fastx_open(path.encode(), int(trim))
+        if not h:
+            raise OSError(f"could not open sequence file: {path}")
+        try:
+            while True:
+                n = lib.kat_fastx_next_codes(
+                    h, k, rows, row_len,
+                    buf.ctypes.data_as(ctypes.c_void_p))
+                if n < 0:
+                    raise RuntimeError(f"native reader error on {path}")
+                if n == 0:
+                    break
+                yield buf[:n].copy()
+        finally:
+            lib.kat_fastx_close(h)

@@ -88,8 +88,15 @@ def _route_local(hi, lo, w, n_dest: int, cap: int):
     idx = jnp.arange(W, dtype=jnp.int32)
     is_first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
                                 d_s[1:] != d_s[:-1]])
-    seg_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_first, idx, 0))
+    # Forward-propagated segment start via a manual Hillis-Steele max loop
+    # (jnp.cummax / associative_scan compile pathologically on TPU).
+    seg_start = jnp.where(is_first, idx, 0)
+    d = 1
+    while d < W:
+        seg_start = jnp.maximum(
+            seg_start,
+            jnp.concatenate([jnp.zeros((d,), jnp.int32), seg_start[:-d]]))
+        d *= 2
     pos = idx - seg_start
 
     in_range = (pos < cap) & (d_s < n_dest)

@@ -137,8 +137,7 @@ class Input:
                 initial_capacity=min(cap0, _next_pow2(self.hash_size)),
                 max_capacity=max(_next_pow2(self.hash_size), cap0),
                 disable_grow=self.disable_grow)
-            recs = fastx.read_records_multi(self.paths, self.trim5 or None)
-            for batch in fastx.encode_batches(recs, self.mer_len):
+            for batch in self._code_batches():
                 hi, lo, valid = kmers.extract_kmers(
                     batch, self.mer_len, self.canonical)
                 sc.add(hi, lo, valid)
@@ -147,6 +146,19 @@ class Input:
             key_len=2 * self.mer_len, counter_len=4,
             canonical=self.canonical,
             size=_next_pow2(2 * int(self.table.n_unique)))
+
+    def _code_batches(self):
+        """2-bit code batches for counting: the native densely packed
+        reader when available (kat_tpu/native/fastxio.cpp), else the
+        pure-Python bucketed encoder."""
+        from ..io import native
+
+        if native.available() and not os.environ.get("KAT_TPU_NO_NATIVE"):
+            yield from native.stream_code_batches(
+                self.paths, self.mer_len, self.trim5 or None)
+        else:
+            recs = fastx.read_records_multi(self.paths, self.trim5 or None)
+            yield from fastx.encode_batches(recs, self.mer_len)
 
     def load(self, quiet: bool = False) -> None:
         with stage("Loading hashes into memory", quiet=quiet):

@@ -1,0 +1,82 @@
+"""Checkpoint round-trips and multi-host helper tests."""
+
+import random
+
+import numpy as np
+import pytest
+
+import oracle
+from kat_tpu.core import counting
+from kat_tpu.io import checkpoint
+from kat_tpu.parallel import distributed
+
+
+@pytest.fixture
+def table():
+    rng = random.Random(13)
+    seqs = ["".join(rng.choice("ACGT") for _ in range(80))
+            for _ in range(20)]
+    hc = oracle.count_seqs(seqs, 11)
+    keys = np.fromiter(hc.keys(), np.uint64, len(hc))
+    counts = np.fromiter(hc.values(), np.uint32, len(hc))
+    return counting.table_from_numpy(keys, counts, capacity=2048), hc
+
+
+@pytest.mark.parametrize("n_shards", [1, 4])
+def test_checkpoint_roundtrip(tmp_path, table, n_shards):
+    t, hc = table
+    checkpoint.save_table(str(tmp_path / "ck"), t, k=11, canonical=True,
+                          n_shards=n_shards)
+    loaded, manifest = checkpoint.load_table(str(tmp_path / "ck"))
+    assert manifest["k"] == 11
+    assert manifest["canonical"] is True
+    assert manifest["n_shards"] == n_shards
+    assert manifest["n_unique"] == len(hc)
+    keys, counts = counting.table_to_numpy(loaded)
+    assert dict(zip(keys.tolist(), counts.tolist())) == dict(hc)
+
+
+def test_checkpoint_shards_are_disjoint(tmp_path, table):
+    t, hc = table
+    checkpoint.save_table(str(tmp_path / "ck"), t, k=11, canonical=True,
+                          n_shards=4)
+    seen = set()
+    total = 0
+    for s in range(4):
+        keys, _counts = checkpoint.load_shard(str(tmp_path / "ck"), s)
+        ks = set(keys.tolist())
+        assert not (seen & ks)
+        seen |= ks
+        total += len(ks)
+    assert total == len(hc)
+
+
+def test_checkpoint_rejects_other_dirs(tmp_path):
+    (tmp_path / "manifest.json").write_text('{"format": "other"}')
+    with pytest.raises(ValueError):
+        checkpoint.load_manifest(str(tmp_path))
+
+
+def test_shard_files_balanced(tmp_path):
+    paths = []
+    for i, size in enumerate([100, 90, 50, 40, 30, 10]):
+        p = tmp_path / f"f{i}.fa"
+        p.write_text("x" * size)
+        paths.append(str(p))
+    s0 = distributed.shard_files(paths, index=0, count=2)
+    s1 = distributed.shard_files(paths, index=1, count=2)
+    assert sorted(s0 + s1) == sorted(paths)
+    assert not (set(s0) & set(s1))
+    # balanced by size rank: each host gets 3 files
+    assert len(s0) == len(s1) == 3
+
+
+def test_shard_files_single_process(tmp_path):
+    p = tmp_path / "a.fa"
+    p.write_text("x")
+    assert distributed.shard_files([str(p)], index=0, count=1) == [str(p)]
+
+
+def test_global_mesh_cpu():
+    mesh = distributed.global_mesh()
+    assert int(np.prod(mesh.devices.shape)) == 8  # conftest forces 8

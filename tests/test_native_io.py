@@ -1,0 +1,121 @@
+"""Native FASTX reader correctness: the densely packed code batches must
+yield exactly the same k-mer multiset as the pure-Python oracle, for FASTA,
+FASTQ, gz, multi-line FASTA, Ns, short records, 5' trim, and records
+spanning row boundaries (seam)."""
+
+import gzip
+import random
+from collections import Counter
+
+import numpy as np
+import pytest
+
+import oracle
+from kat_tpu.io import native
+
+
+@pytest.fixture(autouse=True)
+def _need_native():
+    if not native.available():
+        pytest.skip("native fastxio unavailable (no g++?)")
+
+
+def _kmers_from_batches(paths, k, **kw):
+    """Decode batches back to base streams and collect canonical k-mers."""
+    counts = Counter()
+    for batch in native.stream_code_batches(paths, k, **kw):
+        for row in batch:
+            # walk windows; code>=4 breaks
+            for i in range(len(row) - k + 1):
+                win = row[i:i + k]
+                if (win < 4).all():
+                    v = 0
+                    for c in win:
+                        v = (v << 2) | int(c)
+                    counts[min(v, oracle.revcomp(v, k))] += 1
+    return counts
+
+
+def _expected(seqs, k):
+    return oracle.count_seqs(seqs, k)
+
+
+def _write_fasta(path, seqs, line_len=None):
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">s{i} desc\n")
+            if line_len:
+                for j in range(0, len(s), line_len):
+                    f.write(s[j:j + line_len] + "\n")
+            else:
+                f.write(s + "\n")
+
+
+def _write_fastq(path, seqs, gz=False):
+    op = gzip.open if gz else open
+    with op(path, "wt") as f:
+        for i, s in enumerate(seqs):
+            f.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+
+
+@pytest.fixture
+def seqs():
+    rng = random.Random(77)
+    out = []
+    for _ in range(50):
+        n = rng.randint(5, 200)
+        out.append("".join(
+            rng.choice("ACGTN" if rng.random() < 0.05 else "ACGT")
+            for _ in range(n)))
+    return out
+
+
+def test_fasta(tmp_path, seqs):
+    fa = tmp_path / "x.fa"
+    _write_fasta(fa, seqs)
+    assert _kmers_from_batches([str(fa)], 9) == _expected(seqs, 9)
+
+
+def test_fasta_multiline(tmp_path, seqs):
+    fa = tmp_path / "x.fa"
+    _write_fasta(fa, seqs, line_len=17)
+    assert _kmers_from_batches([str(fa)], 9) == _expected(seqs, 9)
+
+
+def test_fastq(tmp_path, seqs):
+    fq = tmp_path / "x.fastq"
+    _write_fastq(fq, seqs)
+    assert _kmers_from_batches([str(fq)], 9) == _expected(seqs, 9)
+
+
+def test_fastq_gz(tmp_path, seqs):
+    fq = tmp_path / "x.fastq.gz"
+    _write_fastq(fq, seqs, gz=True)
+    assert _kmers_from_batches([str(fq)], 9) == _expected(seqs, 9)
+
+
+def test_seam_across_rows(tmp_path):
+    rng = random.Random(5)
+    long = "".join(rng.choice("ACGT") for _ in range(5000))
+    fa = tmp_path / "long.fa"
+    _write_fasta(fa, [long])
+    # tiny rows force many seam splits
+    got = _kmers_from_batches([str(fa)], 11, rows=7, row_len=129)
+    assert got == _expected([long], 11)
+
+
+def test_trim5(tmp_path, seqs):
+    fq = tmp_path / "x.fastq"
+    _write_fastq(fq, seqs)
+    trimmed = [s[3:] for s in seqs]
+    got = _kmers_from_batches([str(fq)], 9, trim5=[3])
+    assert got == _expected(trimmed, 9)
+
+
+def test_multiple_files(tmp_path, seqs):
+    fa = tmp_path / "a.fa"
+    fq = tmp_path / "b.fastq"
+    _write_fasta(fa, seqs[:25])
+    _write_fastq(fq, seqs[25:])
+    got = _kmers_from_batches([str(fa), str(fq)], 9)
+    assert got == _expected(seqs, 9)
