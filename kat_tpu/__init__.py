@@ -24,10 +24,22 @@ import jax as _jax
 
 # Persistent XLA compilation cache: compiles dominate wall clock on TPU
 # (30-40s per sort shape over the device tunnel); cache them across runs.
+# Keyed by the host CPU's feature set: XLA:CPU caches AOT machine code, and
+# reusing it after a VM migration to different hardware risks SIGILL.
+def _host_key() -> str:
+    try:
+        import hashlib
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+        return hashlib.sha1(flags.encode()).hexdigest()[:12]
+    except OSError:
+        return "default"
+
+
 _jax.config.update(
     "jax_compilation_cache_dir",
     _os.environ.get("KAT_TPU_JAX_CACHE",
-                    _os.path.expanduser("~/.cache/kat_tpu/jax")))
+                    _os.path.expanduser(f"~/.cache/kat_tpu/jax-{_host_key()}")))
 _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 # 64-bit parity: counters/totals in the reference are uint64 and scale

@@ -25,10 +25,22 @@ _lib: ctypes.CDLL | None = None
 _lib_failed = False
 
 
+def _host_key() -> str:
+    # -march=native objects must not survive a VM migration to a host with
+    # a different CPU (SIGILL); key the cache on the CPU feature flags.
+    try:
+        import hashlib
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+        return hashlib.sha1(flags.encode()).hexdigest()[:12]
+    except OSError:
+        return "default"
+
+
 def _build_lib() -> str | None:
     cache = os.environ.get(
         "KAT_TPU_NATIVE_CACHE",
-        os.path.expanduser("~/.cache/kat_tpu/native"))
+        os.path.expanduser(f"~/.cache/kat_tpu/native-{_host_key()}"))
     os.makedirs(cache, exist_ok=True)
     so = os.path.join(cache, "libfastxio.so")
     if (os.path.exists(so)

@@ -133,19 +133,61 @@ class Input:
         with stage(f"Input {self.index} is a sequence file.  Counting kmers "
                    f"for input {self.index} ({self.path_string()})",
                    quiet=quiet):
-            sc = counting.StreamingCounter(
-                initial_capacity=min(cap0, _next_pow2(self.hash_size)),
-                max_capacity=max(_next_pow2(self.hash_size), cap0),
-                disable_grow=self.disable_grow)
-            for batch in self._code_batches():
-                hi, lo, valid = kmers.extract_kmers(
-                    batch, self.mer_len, self.canonical)
-                sc.add(hi, lo, valid)
-            self.table = sc.finish()
+            import jax
+
+            n_dev = len(jax.devices())
+            # Mesh-sharded counting engages automatically on multi-chip
+            # accelerator backends; on CPU (tests, virtual meshes) it is
+            # opt-in via KAT_TPU_SHARD=1 because per-shape shard_map
+            # compiles dwarf tiny workloads.
+            want_shard = (os.environ.get("KAT_TPU_SHARD") == "1"
+                          or jax.default_backend() != "cpu")
+            if (n_dev > 1 and want_shard
+                    and not os.environ.get("KAT_TPU_NO_SHARD")):
+                self.table = self._count_sharded(n_dev)
+            else:
+                sc = counting.StreamingCounter(
+                    initial_capacity=min(cap0, _next_pow2(self.hash_size)),
+                    max_capacity=max(_next_pow2(self.hash_size), cap0),
+                    disable_grow=self.disable_grow)
+                for batch in self._code_batches():
+                    hi, lo, valid = kmers.extract_kmers(
+                        batch, self.mer_len, self.canonical)
+                    sc.add(hi, lo, valid)
+                self.table = sc.finish()
         self.header = jellyfish.JfHeader(
             key_len=2 * self.mer_len, counter_len=4,
             canonical=self.canonical,
             size=_next_pow2(2 * int(self.table.n_unique)))
+
+    def _count_sharded(self, n_dev: int) -> counting.CountTable:
+        """Count on a device mesh: data-parallel batches, k-mers routed to
+        owner shards via all_to_all (SURVEY §2.5 P2).  Capacity overflow or
+        routing overflow restarts the file stream with doubled limits —
+        the observable behaviour of jellyfish's cooperative resize."""
+        from ..parallel.sharded import ShardedCounter, make_mesh
+
+        mesh = make_mesh(n_dev)
+        shard_cap = _next_pow2(max(self.hash_size // n_dev, 1 << 16))
+        slack = 4.0
+        while True:
+            sc = ShardedCounter(mesh, self.mer_len,
+                                canonical=self.canonical,
+                                shard_capacity=shard_cap,
+                                route_slack=slack)
+            try:
+                for batch in self._code_batches():
+                    sc.add_codes(batch)
+                return sc.finish()
+            except RuntimeError as e:
+                if "dropped in routing" in str(e):
+                    slack *= 2
+                elif "shard table overflow" in str(e):
+                    if self.disable_grow:
+                        raise counting.TableFullError(str(e)) from e
+                    shard_cap *= 2
+                else:
+                    raise
 
     def _code_batches(self):
         """2-bit code batches for counting: the native densely packed

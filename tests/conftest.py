@@ -18,7 +18,20 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/kat_tpu_jax_cache")
+# Per-host-CPU cache dir: stale AOT code from a different machine (VM
+# migration) can hang or SIGILL.
+def _host_key():
+    try:
+        import hashlib
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+        return hashlib.sha1(flags.encode()).hexdigest()[:12]
+    except OSError:
+        return "default"
+
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      f"/tmp/kat_tpu_jax_cache-{_host_key()}")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 if _want == "cpu":
