@@ -16,6 +16,7 @@ k-mers/s/host; the reference publishes no numbers of its own).
 
 from __future__ import annotations
 
+
 import json
 import time
 
@@ -25,16 +26,16 @@ import numpy as np
 def main() -> None:
     import jax
 
-    from kat_tpu.core import counting, kmers
+    from kat_tpu.core import counting
 
     k = 27
     rows, length = 4096, 1024          # ~4.1M windows per batch
     windows = rows * (length - k + 1)
     genome_len = 1 << 23               # 8.4 Mbp simulated genome
     table_cap = 1 << 24
-    flush_windows = 1 << 25            # LSM flush: ~8 batches per merge
-    warm_batches = 9                   # exercises one full flush
-    bench_batches = 24                 # three flushes
+    flush_batches = 16                 # fused flush: ~67M windows per merge
+    warm_batches = 17                  # exercises one full fused flush
+    bench_batches = 32                 # two flushes
 
     rng = np.random.default_rng(42)
     genome = rng.integers(0, 4, size=genome_len + length, dtype=np.uint8)
@@ -44,23 +45,24 @@ def main() -> None:
         offsets = rng.integers(0, genome_len, size=rows)
         return np.ascontiguousarray(read_view[offsets])
 
-    dev_batches = [jax.device_put(make_batch()) for _ in range(4)]
+    # Pre-upload the cycling batches: the benchmark isolates device-side
+    # counting throughput (over the dev tunnel, host->device bandwidth is
+    # artificially slow and would dominate; on a real TPU host the input
+    # pipeline overlaps transfers with compute).
+    batches = [jax.device_put(make_batch()) for _ in range(4)]
 
-    def extract(codes):
-        return kmers.extract_kmers(codes, k, canonical=True)
-
-    sc = counting.StreamingCounter(
-        initial_capacity=table_cap, max_capacity=1 << 26,
-        flush_windows=flush_windows)
+    sc = counting.CodeStreamingCounter(
+        k, canonical=True, initial_capacity=table_cap,
+        max_capacity=1 << 26, flush_batches=flush_batches)
 
     for i in range(warm_batches):
-        sc.add(*extract(dev_batches[i % 4]))
+        sc.add_codes(batches[i % 4])
     sc._flush()
     _ = int(sc.table.n_unique)  # force pending device work to complete
 
     t0 = time.perf_counter()
     for i in range(bench_batches):
-        sc.add(*extract(dev_batches[i % 4]))
+        sc.add_codes(batches[i % 4])
     sc._flush()
     _ = int(sc.table.n_unique)  # device sync (block_until_ready is
     #                             unreliable over the remote tunnel)

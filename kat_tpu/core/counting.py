@@ -172,6 +172,111 @@ class TableFullError(RuntimeError):
     pass
 
 
+class CodeStreamingCounter:
+    """Streaming counter over raw 2-bit code batches with a fully fused
+    flush: window extraction + canonical pack + sort + segmented reduce run
+    as ONE jitted program per ~16 batches.
+
+    Compared to StreamingCounter (which extracts per batch), this removes
+    per-batch dispatch latency — significant over remote device transports
+    — and lets XLA fuse extraction into the sort's first pass.  Batches
+    must share one [rows, length] shape (the native reader emits uniform
+    batches); the stack is padded to the next power-of-two batch count so
+    compiled shapes stay few.
+    """
+
+    def __init__(self, k: int, canonical: bool = True,
+                 initial_capacity: int = 1 << 20,
+                 max_capacity: int = 1 << 30, disable_grow: bool = False,
+                 flush_batches: int = 16):
+        self.k = k
+        self.canonical = canonical
+        self.capacity = int(initial_capacity)
+        self.max_capacity = int(max_capacity)
+        self.disable_grow = disable_grow
+        self.flush_batches = int(flush_batches)
+        self.table = empty_table(self.capacity)
+        self._codes: list = []
+        self._shape: tuple | None = None
+        self._flush_fns: dict = {}
+
+    def add_codes(self, codes) -> None:
+        if not isinstance(codes, jax.Array):
+            codes = np.asarray(codes, np.uint8)
+        if codes.ndim != 2:
+            raise ValueError("expected [rows, length] code batch")
+        if self._shape is not None and codes.shape[1] != self._shape[1]:
+            self._flush()
+        if self._shape is None or codes.shape[0] != self._shape[0]:
+            # Row-pad to the first batch's row count (255 = invalid code).
+            if self._shape is not None:
+                rows = self._shape[0]
+                if codes.shape[0] > rows:
+                    self._flush()
+                    self._shape = codes.shape
+                else:
+                    codes = jnp.concatenate([
+                        jnp.asarray(codes),
+                        jnp.full((rows - codes.shape[0], codes.shape[1]),
+                                 255, jnp.uint8)])
+            else:
+                self._shape = codes.shape
+        self._codes.append(jax.device_put(codes))
+        if len(self._codes) >= self.flush_batches:
+            self._flush()
+
+    def _flush_fn(self, b: int, rows: int, length: int, cap: int):
+        key = (b, rows, length, cap)
+        if key not in self._flush_fns:
+            from .kmers import extract_kmers
+
+            k = self.k
+            canonical = self.canonical
+
+            @jax.jit
+            def fused(thi, tlo, tc, codes):
+                hi, lo, valid = extract_kmers(
+                    codes.reshape(-1, length), k, canonical)
+                chi = jnp.concatenate([thi, hi.reshape(-1)])
+                clo = jnp.concatenate([tlo, lo.reshape(-1)])
+                cw = jnp.concatenate(
+                    [tc, valid.reshape(-1).astype(jnp.uint32)])
+                return _unique_reduce(chi, clo, cw, cap)
+
+            self._flush_fns[key] = fused
+        return self._flush_fns[key]
+
+    def _flush(self) -> None:
+        if not self._codes:
+            return
+        rows, length = self._shape
+        b = len(self._codes)
+        target_b = 1 << max(0, int(np.ceil(np.log2(b))))
+        pad = [jnp.full((rows, length), 255, jnp.uint8)] * (target_b - b)
+        stack = jnp.stack(self._codes + pad)
+        self._codes = []
+        self._shape = None
+        while True:
+            fn = self._flush_fn(target_b, rows, length, self.capacity)
+            nhi, nlo, nc, n_unique = fn(
+                self.table.keys_hi, self.table.keys_lo, self.table.counts,
+                stack)
+            n = int(n_unique)
+            if n <= self.capacity:
+                self.table = CountTable(nhi, nlo, nc, n_unique)
+                return
+            if self.disable_grow or self.capacity * 2 > self.max_capacity:
+                raise TableFullError(
+                    f"Count table full at capacity {self.capacity}")
+            self.capacity *= 2
+            self.table = merge_tables(self.table, empty_table(0),
+                                      capacity=self.capacity)
+
+    def finish(self) -> CountTable:
+        self._flush()
+        return self.table
+
+
 class StreamingCounter:
     """Host-side streaming accumulator with capacity doubling.
 

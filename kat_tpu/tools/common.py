@@ -146,14 +146,30 @@ class Input:
                     and not os.environ.get("KAT_TPU_NO_SHARD")):
                 self.table = self._count_sharded(n_dev)
             else:
-                sc = counting.StreamingCounter(
-                    initial_capacity=min(cap0, _next_pow2(self.hash_size)),
-                    max_capacity=max(_next_pow2(self.hash_size), cap0),
-                    disable_grow=self.disable_grow)
-                for batch in self._code_batches():
-                    hi, lo, valid = kmers.extract_kmers(
-                        batch, self.mer_len, self.canonical)
-                    sc.add(hi, lo, valid)
+                from ..io import native
+
+                if native.available() and not os.environ.get(
+                        "KAT_TPU_NO_NATIVE"):
+                    # Uniform batches from the native reader: fused
+                    # extract+reduce flush (one dispatch per ~16 batches).
+                    sc = counting.CodeStreamingCounter(
+                        self.mer_len, self.canonical,
+                        initial_capacity=min(cap0,
+                                             _next_pow2(self.hash_size)),
+                        max_capacity=max(_next_pow2(self.hash_size), cap0),
+                        disable_grow=self.disable_grow)
+                    for batch in self._code_batches():
+                        sc.add_codes(batch)
+                else:
+                    sc = counting.StreamingCounter(
+                        initial_capacity=min(cap0,
+                                             _next_pow2(self.hash_size)),
+                        max_capacity=max(_next_pow2(self.hash_size), cap0),
+                        disable_grow=self.disable_grow)
+                    for batch in self._code_batches():
+                        hi, lo, valid = kmers.extract_kmers(
+                            batch, self.mer_len, self.canonical)
+                        sc.add(hi, lo, valid)
                 self.table = sc.finish()
         self.header = jellyfish.JfHeader(
             key_len=2 * self.mer_len, counter_len=4,
