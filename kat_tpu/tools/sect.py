@@ -119,19 +119,53 @@ class Sect:
         self._print_stat_table(stats_f, records, counts, gcs)
 
     def _analyse_batch(self, records):
-        """Batched device lookups with seam-stitched long-sequence chunks."""
+        """Batched device lookups with seam-stitched long-sequence chunks.
+
+        On multi-device accelerator backends, contigs longer than 1 Mbp use
+        the halo-exchange sequence-parallel path (parallel/longseq.py)
+        instead of sequential host-side chunking."""
+        import os
+
+        import jax
         import jax.numpy as jnp
 
         k = self.input.mer_len
         counts: list[np.ndarray | None] = [None] * len(records)
         gcs: list[np.ndarray | None] = [None] * len(records)
-        for codes, meta in fastx.encode_batch_indexed(records, k):
+
+        n_dev = len(jax.devices())
+        use_halo = (n_dev > 1 and not os.environ.get("KAT_TPU_NO_SHARD")
+                    and (jax.default_backend() != "cpu"
+                         or os.environ.get("KAT_TPU_SHARD") == "1"))
+        halo_threshold = int(os.environ.get("KAT_TPU_HALO_MIN", 1 << 20))
+        chunk_indices = list(range(len(records)))
+        if use_halo:
+            from ..parallel.longseq import sharded_window_profile
+            from ..parallel.sharded import make_mesh
+
+            mesh = make_mesh(n_dev)
+            chunk_indices = []
+            for ri, rec in enumerate(records):
+                if len(rec.seq) >= max(halo_threshold, k):
+                    codes1d = fastx.encode_ascii(
+                        np.frombuffer(rec.seq, np.uint8))
+                    c, g = sharded_window_profile(
+                        self.input.table, codes1d, k,
+                        self.input.canonical, mesh)
+                    counts[ri] = c.astype(np.uint64)
+                    gcs[ri] = g.astype(np.int16)
+                else:
+                    chunk_indices.append(ri)
+
+        chunk_records = [records[i] for i in chunk_indices]
+        for codes, meta in fastx.encode_batch_indexed(chunk_records, k):
             c, g, _v = coverage.window_counts(
                 self.input.table, jnp.asarray(codes), k,
                 self.input.canonical)
             c = np.asarray(c)
             g = np.asarray(g)
-            for row, (ri, start, nw) in enumerate(meta):
+            for row, (ci, start, nw) in enumerate(meta):
+                ri = chunk_indices[ci]
                 if counts[ri] is None:
                     w_total = len(records[ri].seq) - k + 1
                     counts[ri] = np.zeros(w_total, np.uint64)
