@@ -1,15 +1,16 @@
 """Device-side comparison kernels for `kat comp`.
 
-The reference walks hash1 slice-parallel, randomly probing hash2/hash3 per key
-(src/comp.cc:366-484 `compareSlice`).  Here both tables are sorted arrays, so
-every "random probe" becomes a vectorized binary-search gather
-(`counting.lookup`) and all counters/matrices/spectra are scatter-add
-reductions — three fused passes instead of a mutex-merged thread pool.
+The reference walks hash1 slice-parallel, randomly probing hash2/hash3 per
+key (src/comp.cc:366-484 `compareSlice`).  Here both tables are sorted
+arrays, so every "random probe" becomes a vectorized binary-search gather
+and all counters/matrices/spectra are scatter-add reductions — three fused
+passes instead of a mutex-merged thread pool.  Generic over narrow
+(k <= 31) and wide (k <= 63) tables via core/tables.py.
 
 Quirk parity (SURVEY §5.1.2): in the reference's pass 2 the canonical flag
-argument receives a *pointer* (`src/comp.cc:447`), i.e. always true, so pass-2
-queries into hash1 are canonicalized regardless of how hash1 was counted.
-`pass2` reproduces exactly that.
+argument receives a *pointer* (`src/comp.cc:447`), i.e. always true, so
+pass-2 queries into hash1 are canonicalized regardless of how hash1 was
+counted.  `pass2` reproduces exactly that.
 """
 
 from __future__ import annotations
@@ -19,8 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .counting import CountTable, lookup
-from .kmers import SENTINEL, canonicalize
+from . import tables
 from .stats import spectrum
 
 
@@ -32,30 +32,29 @@ def _scale_clamp(counts: jax.Array, scale: float, bins: int) -> jax.Array:
     return jnp.minimum(scaled, bins - 1).astype(jnp.int32)
 
 
-def _maybe_canonical(keys_hi, keys_lo, k: int, canonical: bool):
+def _maybe_canonical(words, k: int, canonical: bool):
     if canonical:
-        return canonicalize(keys_hi, keys_lo, k)
-    return keys_hi, keys_lo
+        return tables.canonicalize(words, k)
+    return words
 
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "d1_bins", "d2_bins", "dm_size", "canon2", "canon3", "three",
     "d1_scale", "d2_scale"))
-def pass1(t1: CountTable, t2: CountTable, t3: CountTable | None,
-          k: int, d1_bins: int, d2_bins: int, dm_size: int,
+def pass1(t1, t2, t3, k: int, d1_bins: int, d2_bins: int, dm_size: int,
           d1_scale: float, d2_scale: float,
           canon2: bool, canon3: bool, three: bool):
     """Iterate hash1 entries; probe hash2 (and hash3).  Returns counters,
     spectra and matrices (comp.cc:366-433)."""
-    real = ~((t1.keys_hi == SENTINEL) & (t1.keys_lo == SENTINEL))
+    real = tables.real_mask(t1)
     h1 = jnp.where(real, t1.counts, 0).astype(jnp.uint64)
+    words1 = tables.key_words(t1)
 
-    qh, ql = _maybe_canonical(t1.keys_hi, t1.keys_lo, k, canon2)
-    h2 = lookup(t2, qh, ql).astype(jnp.uint64)
-    h2 = jnp.where(real, h2, 0)
+    q2 = _maybe_canonical(words1, k, canon2)
+    h2 = jnp.where(real, tables.lookup(t2, q2).astype(jnp.uint64), 0)
     if three:
-        qh3, ql3 = _maybe_canonical(t1.keys_hi, t1.keys_lo, k, canon3)
-        h3 = jnp.where(real, lookup(t3, qh3, ql3).astype(jnp.uint64), 0)
+        q3 = _maybe_canonical(words1, k, canon3)
+        h3 = jnp.where(real, tables.lookup(t3, q3).astype(jnp.uint64), 0)
     else:
         h3 = jnp.zeros_like(h1)
 
@@ -100,14 +99,13 @@ def pass1(t1: CountTable, t2: CountTable, t3: CountTable | None,
 
 @functools.partial(jax.jit, static_argnames=("k", "d2_bins", "dm_size",
                                              "d2_scale"))
-def pass2(t2: CountTable, t1: CountTable, k: int, d2_bins: int, dm_size: int,
-          d2_scale: float):
+def pass2(t2, t1, k: int, d2_bins: int, dm_size: int, d2_scale: float):
     """Iterate hash2 entries; probe hash1 (comp.cc:436-463).  Queries are
     ALWAYS canonicalized — the reference's pointer-as-bool bug (§5.1.2)."""
-    real = ~((t2.keys_hi == SENTINEL) & (t2.keys_lo == SENTINEL))
+    real = tables.real_mask(t2)
     h2 = jnp.where(real, t2.counts, 0).astype(jnp.uint64)
-    qh, ql = canonicalize(t2.keys_hi, t2.keys_lo, k)
-    h1 = jnp.where(real, lookup(t1, qh, ql).astype(jnp.uint64), 0)
+    q1 = tables.canonicalize(tables.key_words(t2), k)
+    h1 = jnp.where(real, tables.lookup(t1, q1).astype(jnp.uint64), 0)
 
     w = real.astype(jnp.uint64)
     only = real & (h1 == 0)
@@ -126,9 +124,9 @@ def pass2(t2: CountTable, t1: CountTable, k: int, d2_bins: int, dm_size: int,
 
 
 @jax.jit
-def pass3(t3: CountTable):
+def pass3(t3):
     """Totals over hash3 (comp.cc:466-479)."""
-    real = ~((t3.keys_hi == SENTINEL) & (t3.keys_lo == SENTINEL))
+    real = tables.real_mask(t3)
     h3 = jnp.where(real, t3.counts, 0).astype(jnp.uint64)
     return {"hash3_total": jnp.sum(h3),
             "hash3_distinct": jnp.sum(real.astype(jnp.uint64))}

@@ -5,7 +5,8 @@ src/filter_sequence.cc:330-368 getProfile).
 The reference walks each sequence base-by-base, building a mer_dna per
 window and probing the shared hash (sect.cc:527-541).  Here a whole batch of
 sequence chunks becomes one [rows, W] window extraction + vectorized
-binary-search gather against the sorted count table.
+binary-search gather against the sorted count table.  Generic over narrow
+(k <= 31) and wide (k <= 63) tables via core/tables.py.
 """
 
 from __future__ import annotations
@@ -15,13 +16,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from . import kmers
-from .counting import CountTable, lookup
+from . import tables
 
 
 @functools.partial(jax.jit, static_argnames=("k", "canonical"))
-def window_counts(table: CountTable, codes: jax.Array, k: int,
-                  canonical: bool):
+def window_counts(table, codes: jax.Array, k: int, canonical: bool):
     """Counts + GC per window of each row.
 
     Returns (counts [.., W] uint32 — 0 for invalid windows,
@@ -30,12 +29,9 @@ def window_counts(table: CountTable, codes: jax.Array, k: int,
     Queries are canonicalized when the hash was counted canonically
     (JellyfishHelper::getCount semantics, jellyfish_helper.cc:189-194).
     """
-    hi, lo, valid = kmers.extract_kmers(codes, k, canonical=False)
-    if canonical:
-        qh, ql = kmers.canonicalize(hi, lo, k)
-    else:
-        qh, ql = hi, lo
-    counts = lookup(table, qh, ql)
+    words, valid = tables.extract(codes, k, canonical=False)
+    q = tables.canonicalize(words, k) if canonical else words
+    counts = tables.lookup(table, q)
     counts = jnp.where(valid, counts, 0)
-    gc = jnp.where(valid, kmers.gc_count(hi, lo).astype(jnp.int32), -1)
+    gc = jnp.where(valid, tables.gc_count(words).astype(jnp.int32), -1)
     return counts, gc, valid

@@ -28,7 +28,8 @@ import numpy as np
 # reaches this value because bits 2k..63 of a real key are always zero.
 SENTINEL = np.uint32(0xFFFFFFFF)
 
-MAX_K = 31
+MAX_K = 31        # packed-u64 (hi, lo) fast path
+MAX_K_WIDE = 63   # 4-word wide path (kmers as 4 x uint32, big-first)
 
 # 256-entry ASCII -> 2-bit code table; 4 = invalid (mirrors mer_dna::code
 # returning -1 for non-ACGT, mer_dna.hpp:382).
@@ -150,6 +151,153 @@ def reverse_complement(hi: jax.Array, lo: jax.Array, k: int):
         out_hi = jnp.zeros_like(rhi)
     mask_hi, mask_lo = key_mask(k)
     return out_hi & mask_hi, out_lo & mask_lo
+
+
+# ---------------------------------------------------------------------------
+# Wide keys: k in (31, 63] packed into 4 uint32 words, BIG-first (w[0] holds
+# the most significant bits) so lexicographic multi-key sorts order keys
+# numerically.  This is the analogue of mer_dna's multi-64-bit-word arrays
+# (mer_dna.hpp: k-mer "as array of 64-bit words").  Real keys use the low 2k
+# bits; the sentinel is all-ones in every word.
+# ---------------------------------------------------------------------------
+
+N_WORDS_WIDE = 4
+
+
+def words_for_k(k: int) -> int:
+    """2 for the packed-u64 fast path, 4 for wide keys."""
+    if 1 <= k <= MAX_K:
+        return 2
+    if k <= MAX_K_WIDE:
+        return N_WORDS_WIDE
+    raise ValueError(f"k={k} out of supported range [1, {MAX_K_WIDE}]")
+
+
+@functools.partial(jax.jit, static_argnames=("k", "canonical"))
+def extract_kmers_wide(codes: jax.Array, k: int, canonical: bool = True):
+    """extract_kmers for k in (31, 63]: returns (words, valid) where words
+    is a 4-tuple of uint32 arrays, big-first."""
+    if not (MAX_K < k <= MAX_K_WIDE):
+        raise ValueError(f"wide path requires {MAX_K} < k <= {MAX_K_WIDE}")
+    L = codes.shape[-1]
+    W = L - k + 1
+    if W <= 0:
+        raise ValueError(f"sequence length {L} shorter than k={k}")
+
+    c32 = codes.astype(jnp.uint32)
+    nw = N_WORDS_WIDE
+    shape = codes.shape[:-1] + (W,)
+    fwd = [jnp.zeros(shape, jnp.uint32) for _ in range(nw)]
+    rc = [jnp.zeros(shape, jnp.uint32) for _ in range(nw)]
+    bad = jnp.zeros(shape, jnp.bool_)
+
+    for j in range(k):
+        c = jax.lax.slice_in_dim(c32, j, j + W, axis=-1)
+        bad = bad | (c >= 4)
+        cc = c & 3
+        comp = cc ^ 3
+        fshift = 2 * (k - 1 - j)
+        rshift = 2 * j
+        fw, fb = fshift // 32, fshift % 32
+        rw, rb = rshift // 32, rshift % 32
+        # words are big-first: bit position b lives in word (nw-1 - b//32)
+        fwd[nw - 1 - fw] = fwd[nw - 1 - fw] | (cc << fb)
+        rc[nw - 1 - rw] = rc[nw - 1 - rw] | (comp << rb)
+
+    if canonical:
+        less = jnp.zeros(shape, jnp.bool_)
+        eq = jnp.ones(shape, jnp.bool_)
+        for w in range(nw):
+            less = less | (eq & (rc[w] < fwd[w]))
+            eq = eq & (rc[w] == fwd[w])
+        words = tuple(jnp.where(less, rc[w], fwd[w]) for w in range(nw))
+    else:
+        words = tuple(fwd)
+
+    words = tuple(jnp.where(bad, SENTINEL, w) for w in words)
+    return words, ~bad
+
+
+def gc_count_words(words) -> jax.Array:
+    """GC count over a big-first word tuple (same bit trick as gc_count)."""
+    m = jnp.uint32(0x55555555)
+    total = None
+    for w in words:
+        g = jax.lax.population_count((w ^ (w >> 1)) & m)
+        total = g if total is None else total + g
+    return total.astype(jnp.uint32)
+
+
+def reverse_complement_words(words, k: int):
+    """Reverse-complement over a big-first 4-word key (k <= 63)."""
+
+    def rev2(x):
+        x = ((x & 0x33333333) << 2) | ((x >> 2) & 0x33333333)
+        x = ((x & 0x0F0F0F0F) << 4) | ((x >> 4) & 0x0F0F0F0F)
+        x = ((x & 0x00FF00FF) << 8) | ((x >> 8) & 0x00FF00FF)
+        x = (x << 16) | (x >> 16)
+        return x
+
+    nw = len(words)
+    # complement + full 2-bit-group reversal across the concatenated words
+    rev = [rev2(~words[nw - 1 - i]) for i in range(nw)]
+    # shift right by (32*nw - 2k) bits across the word array (big-first)
+    shift = 32 * nw - 2 * k
+    ws, bs = shift // 32, shift % 32
+    out = []
+    for i in range(nw):
+        src = i - ws
+        v = jnp.zeros_like(words[0])
+        if 0 <= src < nw:
+            v = rev[src] >> bs
+            if bs and src - 1 >= 0:
+                v = v | (rev[src - 1] << (32 - bs))
+        elif bs and 0 <= src - 1 < nw:
+            v = rev[src - 1] << (32 - bs)
+        out.append(v)
+    # mask to 2k bits
+    bits = 2 * k
+    masked = []
+    for i in range(nw):
+        top_bits = bits - 32 * (nw - 1 - i)
+        if top_bits <= 0:
+            masked.append(jnp.zeros_like(out[i]))
+        elif top_bits >= 32:
+            masked.append(out[i])
+        else:
+            masked.append(out[i] & jnp.uint32((1 << top_bits) - 1))
+    return tuple(masked)
+
+
+def canonicalize_words(words, k: int):
+    """min(key, revcomp) over word tuples, preserving sentinels."""
+    rcw = reverse_complement_words(words, k)
+    less = jnp.zeros_like(words[0], jnp.bool_)
+    eq = jnp.ones_like(words[0], jnp.bool_)
+    for w in range(len(words)):
+        less = less | (eq & (rcw[w] < words[w]))
+        eq = eq & (rcw[w] == words[w])
+    is_sent = None
+    for w in words:
+        s = w == SENTINEL
+        is_sent = s if is_sent is None else (is_sent & s)
+    return tuple(
+        jnp.where(is_sent, words[i], jnp.where(less, rcw[i], words[i]))
+        for i in range(len(words)))
+
+
+def pack_string_words(s: str, n_words: int = N_WORDS_WIDE) -> tuple[int, ...]:
+    """Host-side: ACGT string -> big-first uint32 word tuple."""
+    v = pack_string(s)
+    return tuple((v >> (32 * (n_words - 1 - i))) & 0xFFFFFFFF
+                 for i in range(n_words))
+
+
+def words_to_int(words_row) -> int:
+    v = 0
+    for w in words_row:
+        v = (v << 32) | int(w)
+    return v
 
 
 def canonicalize(hi: jax.Array, lo: jax.Array, k: int):

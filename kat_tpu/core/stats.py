@@ -42,8 +42,11 @@ def gcp_matrix(table: CountTable, mer_len: int, cvg_bins: int,
     (0..mer_len), columns by scaled coverage (clamped to cvg_bins).  Note the
     reference allocates `width = mer_len` and silently drops GC == mer_len
     entries at merge/print (SURVEY §5.1.3) — the writer applies that quirk.
+    Generic over narrow/wide tables.
     """
-    gc = gc_count(table.keys_hi, table.keys_lo).astype(jnp.int32)
+    from . import tables as _tables
+
+    gc = _tables.gc_of_keys(table).astype(jnp.int32)
     c = table.counts.astype(jnp.float64)
     cvg_pos = jnp.where(table.counts == 0, 0,
                         jnp.ceil(c * cvg_scale)).astype(jnp.int64)

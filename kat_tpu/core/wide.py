@@ -1,0 +1,236 @@
+"""Wide-key (k in (31, 63]) count tables: 4-word keys, same sort+segmented-
+reduce engine as core/counting.py.
+
+The reference's mer_dna holds k-mers in arrays of 64-bit words
+(mer_dna.hpp), supporting arbitrary k; this module extends the TPU engine
+past the packed-u64 fast path with keys as 4 uint32 words (big-first).
+Sort cost grows only mildly with key operands (the variadic comparator
+dominates — see docs/PERFORMANCE.md), so the wide path shares all design
+decisions with the narrow one.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .counting import _segmented_cumsum
+from .kmers import N_WORDS_WIDE, SENTINEL, extract_kmers_wide
+
+
+class WideTable(NamedTuple):
+    """Sorted unique-key table with 4-word keys (big-first w0..w3)."""
+    w0: jax.Array
+    w1: jax.Array
+    w2: jax.Array
+    w3: jax.Array
+    counts: jax.Array
+    n_unique: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.w0.shape[0]
+
+    @property
+    def words(self):
+        return (self.w0, self.w1, self.w2, self.w3)
+
+
+def empty_table(capacity: int) -> WideTable:
+    s = jnp.full((capacity,), SENTINEL, jnp.uint32)
+    return WideTable(s, s, s, s, jnp.zeros((capacity,), jnp.uint32),
+                     jnp.zeros((), jnp.int32))
+
+
+def _unique_reduce_wide(words, w, out_size: int):
+    """4-word-key variant of counting._unique_reduce (same derivation)."""
+    n = words[0].shape[0]
+    *ws_sorted, w_s = jax.lax.sort((*words, w), num_keys=N_WORDS_WIDE)
+
+    nxt_same = jnp.ones((n - 1,), jnp.bool_)
+    for wd in ws_sorted:
+        nxt_same = nxt_same & (wd[:-1] == wd[1:])
+    is_last = jnp.concatenate([~nxt_same, jnp.ones((1,), jnp.bool_)])
+    is_first = jnp.concatenate([jnp.ones((1,), jnp.bool_), ~nxt_same])
+
+    run_total = _segmented_cumsum(w_s.astype(jnp.uint32), is_first)
+
+    real = jnp.zeros((n,), jnp.bool_)
+    for wd in ws_sorted:
+        real = real | (wd != SENTINEL)
+    keep = is_last & real
+    ckey = [jnp.where(keep, wd, SENTINEL) for wd in ws_sorted]
+    cw = jnp.where(keep, run_total, 0).astype(jnp.uint32)
+
+    *ckey, cw = jax.lax.sort((*ckey, cw), num_keys=N_WORDS_WIDE)
+    n_unique = jnp.sum(keep.astype(jnp.int32))
+
+    if out_size < n:
+        ckey = [c[:out_size] for c in ckey]
+        cw = cw[:out_size]
+    elif out_size > n:
+        pad = out_size - n
+        ckey = [jnp.concatenate([c, jnp.full((pad,), SENTINEL, jnp.uint32)])
+                for c in ckey]
+        cw = jnp.concatenate([cw, jnp.zeros((pad,), jnp.uint32)])
+    return (*ckey, cw, n_unique)
+
+
+@jax.jit
+def lookup_wide(table: WideTable, qwords) -> jax.Array:
+    """Vectorized lexicographic binary search over the sorted wide table."""
+    shape = qwords[0].shape
+    qs = [q.reshape(-1) for q in qwords]
+    cap = table.capacity
+    steps = int(np.ceil(np.log2(max(cap, 2)))) + 1
+
+    lo_idx = jnp.zeros(qs[0].shape, jnp.int32)
+    hi_idx = jnp.full(qs[0].shape, cap, jnp.int32)
+    twords = table.words
+
+    def body(_, carry):
+        lo_i, hi_i = carry
+        mid = (lo_i + hi_i) // 2
+        less = jnp.zeros_like(lo_i, jnp.bool_)
+        eq = jnp.ones_like(lo_i, jnp.bool_)
+        for tw, q in zip(twords, qs):
+            m = tw[mid]
+            less = less | (eq & (m < q))
+            eq = eq & (m == q)
+        return jnp.where(less, mid + 1, lo_i), jnp.where(less, hi_i, mid)
+
+    lo_idx, hi_idx = jax.lax.fori_loop(0, steps, body, (lo_idx, hi_idx))
+    pos = jnp.minimum(lo_idx, cap - 1)
+    found = lo_idx < cap
+    for tw, q in zip(twords, qs):
+        found = found & (tw[pos] == q)
+    out = jnp.where(found, table.counts[pos], 0).astype(jnp.uint32)
+    return out.reshape(shape)
+
+
+class WideCodeStreamingCounter:
+    """CodeStreamingCounter for wide keys: fused extract+reduce flush."""
+
+    def __init__(self, k: int, canonical: bool = True,
+                 initial_capacity: int = 1 << 20,
+                 max_capacity: int = 1 << 30, disable_grow: bool = False,
+                 flush_batches: int = 16):
+        self.k = k
+        self.canonical = canonical
+        self.capacity = int(initial_capacity)
+        self.max_capacity = int(max_capacity)
+        self.disable_grow = disable_grow
+        self.flush_batches = int(flush_batches)
+        self.table = empty_table(self.capacity)
+        self._codes: list = []
+        self._shape: tuple | None = None
+        self._flush_fns: dict = {}
+
+    def add_codes(self, codes) -> None:
+        if not isinstance(codes, jax.Array):
+            codes = np.asarray(codes, np.uint8)
+        if codes.ndim != 2:
+            raise ValueError("expected [rows, length] code batch")
+        if self._shape is not None and codes.shape[1] != self._shape[1]:
+            self._flush()
+        if self._shape is None or codes.shape[0] != self._shape[0]:
+            if self._shape is not None:
+                rows = self._shape[0]
+                if codes.shape[0] > rows:
+                    self._flush()
+                    self._shape = codes.shape
+                else:
+                    codes = jnp.concatenate([
+                        jnp.asarray(codes),
+                        jnp.full((rows - codes.shape[0], codes.shape[1]),
+                                 255, jnp.uint8)])
+            else:
+                self._shape = codes.shape
+        self._codes.append(jax.device_put(codes))
+        if len(self._codes) >= self.flush_batches:
+            self._flush()
+
+    def _flush_fn(self, b: int, rows: int, length: int, cap: int):
+        key = (b, rows, length, cap)
+        if key not in self._flush_fns:
+            k = self.k
+            canonical = self.canonical
+
+            @jax.jit
+            def fused(t: WideTable, codes):
+                words, valid = extract_kmers_wide(
+                    codes.reshape(-1, length), k, canonical)
+                cat = [jnp.concatenate([tw, wd.reshape(-1)])
+                       for tw, wd in zip(t.words, words)]
+                cw = jnp.concatenate(
+                    [t.counts, valid.reshape(-1).astype(jnp.uint32)])
+                return _unique_reduce_wide(tuple(cat), cw, cap)
+
+            self._flush_fns[key] = fused
+        return self._flush_fns[key]
+
+    def _flush(self) -> None:
+        if not self._codes:
+            return
+        rows, length = self._shape
+        b = len(self._codes)
+        target_b = 1 << max(0, int(np.ceil(np.log2(b))))
+        pad = [jnp.full((rows, length), 255, jnp.uint8)] * (target_b - b)
+        stack = jnp.stack(self._codes + pad)
+        self._codes = []
+        self._shape = None
+        while True:
+            fn = self._flush_fn(target_b, rows, length, self.capacity)
+            *ws, cw, n_unique = fn(self.table, stack)
+            n = int(n_unique)
+            if n <= self.capacity:
+                self.table = WideTable(*ws, cw, n_unique)
+                return
+            if self.disable_grow or self.capacity * 2 > self.max_capacity:
+                from .counting import TableFullError
+
+                raise TableFullError(
+                    f"Count table full at capacity {self.capacity}")
+            self.capacity *= 2
+            self.table = _grow_table(self.table, self.capacity)
+
+    def finish(self) -> WideTable:
+        self._flush()
+        return self.table
+
+
+def _grow_table(t: WideTable, capacity: int) -> WideTable:
+    pad = capacity - t.capacity
+    s = jnp.full((pad,), SENTINEL, jnp.uint32)
+    return WideTable(
+        *(jnp.concatenate([w, s]) for w in t.words),
+        jnp.concatenate([t.counts, jnp.zeros((pad,), jnp.uint32)]),
+        t.n_unique)
+
+
+def table_to_numpy(t: WideTable):
+    """(python-int keys list, counts) — keys exceed uint64 so stay ints."""
+    n = int(t.n_unique)
+    words = [np.asarray(w[:n], np.uint64) for w in t.words]
+    counts = np.asarray(t.counts[:n], np.uint32)
+    keys = ((words[0] << np.uint64(32)) | words[1]).astype(object)
+    low = (words[2] << np.uint64(32)) | words[3]
+    keys = [(int(h) << 64) | int(lo) for h, lo in zip(keys, low)]
+    return keys, counts
+
+
+def table_from_ints(keys, counts, capacity: int | None = None) -> WideTable:
+    """Build a wide table from python-int keys (host-side)."""
+    keys = list(keys)
+    counts = np.asarray(counts, np.uint32)
+    cap = capacity or max(1, len(keys))
+    ws = [np.zeros(len(keys), np.uint32) for _ in range(N_WORDS_WIDE)]
+    for i, kk in enumerate(keys):
+        for wi in range(N_WORDS_WIDE):
+            ws[wi][i] = (kk >> (32 * (N_WORDS_WIDE - 1 - wi))) & 0xFFFFFFFF
+    words = tuple(jnp.asarray(w) for w in ws)
+    return WideTable(*_unique_reduce_wide(words, jnp.asarray(counts), cap))

@@ -84,15 +84,16 @@ def read_header(path: str) -> tuple[JfHeader, int]:
     return hdr, 9 + hlen
 
 
-def read_jf(path: str) -> tuple[JfHeader, np.ndarray, np.ndarray]:
-    """Load a .jf file -> (header, u64 keys, u32 counts).
+def read_jf(path: str) -> tuple[JfHeader, np.ndarray | list, np.ndarray]:
+    """Load a .jf file -> (header, keys, u32 counts).
 
-    Requires key_len <= 64 (k <= 32); larger keys raise (the packed-u64
-    engine path is k <= 31 anyway).
+    keys is a np.uint64 array for key_len <= 64 (k <= 32) and a list of
+    python ints for wider keys (up to key_len 128, k <= 64 — the wide
+    engine path).
     """
     hdr, off = read_header(path)
-    if hdr.key_len > 64:
-        raise ValueError(f"key_len {hdr.key_len} > 64 unsupported")
+    if hdr.key_len > 128:
+        raise ValueError(f"key_len {hdr.key_len} > 128 unsupported")
     data = np.fromfile(path, np.uint8, offset=off)
     rec = hdr.record_len
     n = data.size // rec
@@ -102,13 +103,25 @@ def read_jf(path: str) -> tuple[JfHeader, np.ndarray, np.ndarray]:
             f"length of a record ({rec})")
     mat = data[:n * rec].reshape(n, rec)
 
-    keys = np.zeros(n, np.uint64)
-    for b in range(hdr.key_bytes):
-        keys |= mat[:, b].astype(np.uint64) << np.uint64(8 * b)
     counts = np.zeros(n, np.uint64)
     for b in range(hdr.counter_len):
         counts |= mat[:, hdr.key_bytes + b].astype(np.uint64) << np.uint64(8 * b)
-    return hdr, keys, np.minimum(counts, 0xFFFFFFFF).astype(np.uint32)
+    counts = np.minimum(counts, 0xFFFFFFFF).astype(np.uint32)
+
+    if hdr.key_len <= 64:
+        keys = np.zeros(n, np.uint64)
+        for b in range(hdr.key_bytes):
+            keys |= mat[:, b].astype(np.uint64) << np.uint64(8 * b)
+        return hdr, keys, counts
+
+    lo = np.zeros(n, np.uint64)
+    for b in range(min(8, hdr.key_bytes)):
+        lo |= mat[:, b].astype(np.uint64) << np.uint64(8 * b)
+    hi = np.zeros(n, np.uint64)
+    for b in range(8, hdr.key_bytes):
+        hi |= mat[:, b].astype(np.uint64) << np.uint64(8 * (b - 8))
+    keys = [(int(h) << 64) | int(l) for h, l in zip(hi, lo)]
+    return hdr, keys, counts
 
 
 def _std_reprobes(max_reprobe: int = 126) -> list[int]:
@@ -127,10 +140,19 @@ def _random_matrix(r: int, c: int, seed: int = 0x5DEECE66) -> list[int]:
     return [int(x) for x in cols]
 
 
-def write_jf(path: str, keys: np.ndarray, counts: np.ndarray, mer_len: int,
+def write_jf(path: str, keys, counts: np.ndarray, mer_len: int,
              canonical: bool, counter_len: int = 4,
              cmdline: list[str] | None = None) -> None:
-    """Write (u64 keys, counts) as a jellyfish-compatible binary/sorted hash."""
+    """Write (keys, counts) as a jellyfish-compatible binary/sorted hash.
+
+    keys: np.uint64 array (k <= 32) or a sequence of python ints (wide
+    keys, k <= 64)."""
+    wide_keys = not isinstance(keys, np.ndarray) or keys.dtype == object
+    if wide_keys:
+        pairs = sorted(zip([int(x) for x in keys],
+                           np.asarray(counts, np.uint64).tolist()))
+        return _write_jf_wide(path, pairs, mer_len, canonical, counter_len,
+                              cmdline)
     keys = np.asarray(keys, np.uint64)
     counts = np.asarray(counts, np.uint64)
     order = np.argsort(keys, kind="stable")
@@ -186,3 +208,51 @@ def write_jf(path: str, keys: np.ndarray, counts: np.ndarray, mer_len: int,
     with open(path, "wb") as f:
         f.write(blob)
         f.write(rec.tobytes())
+
+
+def _header_blob(mer_len: int, canonical: bool, counter_len: int, n: int,
+                 cmdline: list[str] | None) -> bytes:
+    key_len = 2 * mer_len
+    lsize = max(1, int(np.ceil(np.log2(max(2 * n, 2)))))
+    hdr = {
+        "alignment": 8,
+        "canonical": bool(canonical),
+        "cmdline": cmdline or ["kat_tpu"],
+        "counter_len": counter_len,
+        "exe_path": "kat_tpu",
+        "format": "binary/sorted",
+        "hostname": socket.gethostname(),
+        "key_len": key_len,
+        "matrix1": {"c": key_len,
+                    "columns": _random_matrix(lsize, key_len),
+                    "r": lsize},
+        "max_reprobe": 126,
+        "pwd": os.getcwd(),
+        "reprobes": _std_reprobes(126),
+        "size": 1 << lsize,
+        "time": time.ctime(),
+        "user": getpass.getuser(),
+        "val_len": 7,
+    }
+    txt = json.dumps(hdr, sort_keys=True, separators=(",", ":")).encode()
+    hlen = len(txt)
+    pad = (-(9 + hlen)) % 8
+    hlen += pad
+    return f"{hlen:09d}".encode() + txt + b"\x00" * pad
+
+
+def _write_jf_wide(path: str, pairs: list[tuple[int, int]], mer_len: int,
+                   canonical: bool, counter_len: int,
+                   cmdline: list[str] | None) -> None:
+    """Write wide (k <= 64) keys: byte-serialised little-endian like the
+    binary_dumper, keys as python ints."""
+    key_len = 2 * mer_len
+    key_bytes = key_len // 8 + (1 if key_len % 8 else 0)
+    max_val = (1 << (8 * counter_len)) - 1
+    blob = _header_blob(mer_len, canonical, counter_len, len(pairs),
+                        cmdline)
+    with open(path, "wb") as f:
+        f.write(blob)
+        for key, val in pairs:
+            f.write(int(key).to_bytes(key_bytes, "little"))
+            f.write(min(int(val), max_val).to_bytes(counter_len, "little"))

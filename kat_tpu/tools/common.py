@@ -139,10 +139,23 @@ class Input:
             # Mesh-sharded counting engages automatically on multi-chip
             # accelerator backends; on CPU (tests, virtual meshes) it is
             # opt-in via KAT_TPU_SHARD=1 because per-shape shard_map
-            # compiles dwarf tiny workloads.
+            # compiles dwarf tiny workloads.  Wide keys (k > 31) use the
+            # single-device wide engine.
             want_shard = (os.environ.get("KAT_TPU_SHARD") == "1"
                           or jax.default_backend() != "cpu")
-            if (n_dev > 1 and want_shard
+            if self.mer_len > kmers.MAX_K:
+                from ..core import wide
+
+                sc = wide.WideCodeStreamingCounter(
+                    self.mer_len, self.canonical,
+                    initial_capacity=min(cap0,
+                                         _next_pow2(self.hash_size)),
+                    max_capacity=max(_next_pow2(self.hash_size), cap0),
+                    disable_grow=self.disable_grow)
+                for batch in self._code_batches():
+                    sc.add_codes(batch)
+                self.table = sc.finish()
+            elif (n_dev > 1 and want_shard
                     and not os.environ.get("KAT_TPU_NO_SHARD")):
                 self.table = self._count_sharded(n_dev)
             else:
@@ -208,15 +221,18 @@ class Input:
     def _code_batches(self):
         """2-bit code batches for counting: the native densely packed
         reader when available (kat_tpu/native/fastxio.cpp), else the
-        pure-Python bucketed encoder."""
+        pure-Python bucketed encoder.  A background thread keeps the
+        parser a few batches ahead of device compute (io/prefetch.py)."""
         from ..io import native
+        from ..io.prefetch import prefetch
 
         if native.available() and not os.environ.get("KAT_TPU_NO_NATIVE"):
-            yield from native.stream_code_batches(
+            it = native.stream_code_batches(
                 self.paths, self.mer_len, self.trim5 or None)
         else:
             recs = fastx.read_records_multi(self.paths, self.trim5 or None)
-            yield from fastx.encode_batches(recs, self.mer_len)
+            it = fastx.encode_batches(recs, self.mer_len)
+        yield from prefetch(it)
 
     def load(self, quiet: bool = False) -> None:
         with stage("Loading hashes into memory", quiet=quiet):
@@ -224,8 +240,15 @@ class Input:
             self.header = hdr
             self.canonical = hdr.canonical
             self.mer_len = hdr.mer_len
-            self.table = counting.table_from_numpy(
-                keys, counts, capacity=_next_pow2(max(len(keys), 1)))
+            cap = _next_pow2(max(len(keys), 1))
+            if hdr.mer_len > kmers.MAX_K:
+                from ..core import wide
+
+                self.table = wide.table_from_ints(keys, counts,
+                                                  capacity=cap)
+            else:
+                self.table = counting.table_from_numpy(
+                    keys, counts, capacity=cap)
 
     def validate_mer_len(self, mer_len: int) -> None:
         if self.mode == InputMode.LOAD and self.header is not None:
@@ -246,7 +269,12 @@ class Input:
             with stage(f"Dumping hash to {out_path}", quiet=quiet):
                 if os.path.lexists(out_path):
                     os.remove(out_path)
-                keys, counts = counting.table_to_numpy(self.table)
+                if self.mer_len > kmers.MAX_K:
+                    from ..core import wide
+
+                    keys, counts = wide.table_to_numpy(self.table)
+                else:
+                    keys, counts = counting.table_to_numpy(self.table)
                 jellyfish.write_jf(out_path, keys, counts, self.mer_len,
                                    self.canonical,
                                    cmdline=list(sys.argv))

@@ -48,9 +48,16 @@ class FilterKmer:
         self.input.count_or_load(quiet=self.quiet)
 
         with stage("Filtering kmers", quiet=self.quiet):
-            keys, counts = counting.table_to_numpy(self.input.table)
-            gc = np.asarray(kmers.gc_count(
-                self.input.table.keys_hi, self.input.table.keys_lo))
+            from ..core import tables
+
+            if tables.is_wide(self.input.table):
+                from ..core import wide
+
+                keys, counts = wide.table_to_numpy(self.input.table)
+                keys = np.asarray(keys, object)
+            else:
+                keys, counts = counting.table_to_numpy(self.input.table)
+            gc = np.asarray(tables.gc_of_keys(self.input.table))
             gc = gc[:len(keys)]
             in_gc = (self.low_gc <= gc) & (gc <= self.high_gc)
             in_cvg = ((self.low_count <= counts.astype(np.int64))

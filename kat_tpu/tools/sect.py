@@ -133,8 +133,11 @@ class Sect:
         counts: list[np.ndarray | None] = [None] * len(records)
         gcs: list[np.ndarray | None] = [None] * len(records)
 
+        from ..core.kmers import MAX_K
+
         n_dev = len(jax.devices())
-        use_halo = (n_dev > 1 and not os.environ.get("KAT_TPU_NO_SHARD")
+        use_halo = (n_dev > 1 and k <= MAX_K
+                    and not os.environ.get("KAT_TPU_NO_SHARD")
                     and (jax.default_backend() != "cpu"
                          or os.environ.get("KAT_TPU_SHARD") == "1"))
         halo_threshold = int(os.environ.get("KAT_TPU_HALO_MIN", 1 << 20))
