@@ -65,7 +65,10 @@ def glob_files(spec: str | list[str]) -> list[str]:
     if isinstance(spec, str):
         patterns = spec.split(" ")
     else:
-        patterns = list(spec)
+        # each element may itself hold space-separated patterns (the
+        # reference passes one quoted "file1 file2" positional through
+        # boost::po and splits inside globFiles)
+        patterns = [p for el in spec for p in el.split(" ")]
     out: list[str] = []
     for raw in patterns:
         if not raw:
