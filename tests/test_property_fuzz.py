@@ -1,0 +1,69 @@
+"""Property sweep: random sequence sets at boundary k values must count
+identically to the oracle through the full Input.count machinery (native
+reader when available, fused flush, growth)."""
+
+import random
+
+import pytest
+
+import oracle
+from kat_tpu.core import counting, wide
+from kat_tpu.tools.common import Input
+
+
+def _write_fasta(path, seqs):
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">s{i}\n{s}\n")
+
+
+def _table_dict(table, k):
+    if isinstance(table, wide.WideTable):
+        keys, counts = wide.table_to_numpy(table)
+        return dict(zip(keys, counts.tolist()))
+    keys, counts = counting.table_to_numpy(table)
+    return dict(zip(keys.tolist(), counts.tolist()))
+
+
+@pytest.mark.parametrize("k", [1, 2, 15, 16, 17, 31, 32, 33, 48, 63])
+def test_count_boundary_k(tmp_path, k):
+    rng = random.Random(k * 131)
+    seqs = []
+    for _ in range(25):
+        n = rng.randint(max(k, 2), max(k + 50, 120))
+        seqs.append("".join(
+            rng.choice("ACGTN" if rng.random() < 0.08 else "ACGT")
+            for _ in range(n)))
+    # adversarial extras: homopolymers, palindromes, exact-k sequences
+    seqs.append("A" * (k + 9))
+    seqs.append("ACGT" * ((k + 3) // 4 + 2))
+    seqs.append("G" * k)
+    fa = tmp_path / "f.fa"
+    _write_fasta(fa, seqs)
+
+    inp = Input(paths=[str(fa)])
+    inp.mer_len = k
+    inp.hash_size = 2048  # force growth on some k
+    inp.validate()
+    inp.count(quiet=True)
+    got = _table_dict(inp.table, k)
+    want = dict(oracle.count_seqs(seqs, k))
+    assert got == want, f"k={k}"
+
+
+@pytest.mark.parametrize("k", [5, 31, 33])
+def test_count_non_canonical_boundary(tmp_path, k):
+    rng = random.Random(k)
+    seqs = ["".join(rng.choice("ACGT") for _ in range(k + 40))
+            for _ in range(10)]
+    fa = tmp_path / "f.fa"
+    _write_fasta(fa, seqs)
+    inp = Input(paths=[str(fa)])
+    inp.mer_len = k
+    inp.canonical = False
+    inp.hash_size = 4096
+    inp.validate()
+    inp.count(quiet=True)
+    got = _table_dict(inp.table, k)
+    want = dict(oracle.count_seqs(seqs, k, canonical=False))
+    assert got == want
