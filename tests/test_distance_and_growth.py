@@ -1,0 +1,126 @@
+"""Distance-metric semantics (including the reference's integer-accumulation
+quirks) and capacity-growth / routing-retry paths."""
+
+import random
+
+import numpy as np
+import pytest
+
+import oracle
+from kat_tpu.core import counting, distance, wide
+from kat_tpu.io import fastx
+from kat_tpu.tools.common import Input
+
+
+def test_manhattan_euclidean_integer_accumulation():
+    s1 = [0, 10, 5, 3]
+    s2 = [4, 2, 5, 10]
+    # Manhattan: |0-4|+|10-2|+|5-5|+|3-10| = 4+8+0+7 = 19
+    assert distance.manhattan(s1, s2) == 19.0
+    # Euclidean: sqrt(16+64+0+49) = sqrt(129)
+    assert distance.euclidean(s1, s2) == pytest.approx(np.sqrt(129))
+
+
+def test_cosine_canberra_jaccard():
+    s1 = [1, 2, 3]
+    s2 = [1, 2, 3]
+    assert distance.cosine(s1, s2) == pytest.approx(0.0)
+    assert distance.canberra(s1, s2) == 0.0
+    assert distance.jaccard(s1, s2) == 0.0
+    s3 = [0, 0, 6]
+    # canberra: 1/1 + 2/2 + 3/9 = 2.3333...
+    assert distance.canberra(s1, s3) == pytest.approx(1 + 1 + 3 / 9)
+    # jaccard: 1 - min-sum/max-sum = 1 - 3/9
+    assert distance.jaccard(s1, s3) == pytest.approx(1 - 3 / 9)
+
+
+def test_zero_spectra_nan():
+    z = [0, 0]
+    assert np.isnan(distance.cosine(z, z))
+    assert np.isnan(distance.jaccard(z, z))
+    assert distance.canberra(z, z) == 0.0
+    assert distance.manhattan(z, z) == 0.0
+
+
+def _write_fasta(path, seqs):
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">s{i}\n{s}\n")
+
+
+def test_streaming_counter_growth():
+    """Force repeated capacity doubling through the fused counter."""
+    rng = random.Random(1)
+    seqs = ["".join(rng.choice("ACGT") for _ in range(120))
+            for _ in range(60)]
+    codes = [fastx.encode_ascii(np.frombuffer(s.encode(), np.uint8))[None]
+             for s in seqs]
+    sc = counting.CodeStreamingCounter(15, True, initial_capacity=64,
+                                       max_capacity=1 << 16,
+                                       flush_batches=8)
+    for c in codes:
+        sc.add_codes(c)
+    t = sc.finish()
+    keys, counts = counting.table_to_numpy(t)
+    want = oracle.count_seqs(seqs, 15)
+    assert dict(zip(keys.tolist(), counts.tolist())) == dict(want)
+    assert sc.capacity > 64  # actually grew
+
+
+def test_streaming_counter_disable_grow():
+    rng = random.Random(2)
+    seqs = ["".join(rng.choice("ACGT") for _ in range(200))
+            for _ in range(20)]
+    codes = [fastx.encode_ascii(np.frombuffer(s.encode(), np.uint8))[None]
+             for s in seqs]
+    sc = counting.CodeStreamingCounter(15, True, initial_capacity=64,
+                                       disable_grow=True)
+    with pytest.raises(counting.TableFullError):
+        for c in codes:
+            sc.add_codes(c)
+        sc.finish()
+
+
+def test_wide_counter_growth():
+    rng = random.Random(3)
+    seqs = ["".join(rng.choice("ACGT") for _ in range(150))
+            for _ in range(30)]
+    codes = [fastx.encode_ascii(np.frombuffer(s.encode(), np.uint8))[None]
+             for s in seqs]
+    sc = wide.WideCodeStreamingCounter(33, True, initial_capacity=64,
+                                       max_capacity=1 << 16,
+                                       flush_batches=4)
+    for c in codes:
+        sc.add_codes(c)
+    t = sc.finish()
+    keys, counts = wide.table_to_numpy(t)
+    want = oracle.count_seqs(seqs, 33)
+    assert dict(zip(keys, counts.tolist())) == dict(want)
+
+
+def test_sharded_count_retry_on_overflow(tmp_path, monkeypatch):
+    """Input._count_sharded restarts with doubled shard capacity when the
+    first attempt overflows."""
+    monkeypatch.setenv("KAT_TPU_SHARD", "1")
+    rng = random.Random(4)
+    seqs = ["".join(rng.choice("ACGT") for _ in range(100))
+            for _ in range(50)]
+    fa = tmp_path / "f.fa"
+    _write_fasta(fa, seqs)
+    inp = Input(paths=[str(fa)])
+    inp.mer_len = 13
+    inp.hash_size = 256  # 256/8 per shard -> min 2^16 ... force small:
+    inp.validate()
+    # shrink the floor so the retry path actually triggers
+    from kat_tpu.tools import common as common_mod
+
+    orig = common_mod._next_pow2
+
+    def tiny_pow2(n):
+        return min(orig(n), 128)
+
+    monkeypatch.setattr(common_mod, "_next_pow2", tiny_pow2)
+    inp.count(quiet=True)
+    keys, counts = counting.table_to_numpy(inp.table)
+    want = oracle.count_seqs(seqs, 13)
+    assert dict(zip(keys.tolist(), counts.tolist())) == dict(want)
