@@ -51,6 +51,27 @@ def test_count_boundary_k(tmp_path, k):
     assert got == want, f"k={k}"
 
 
+@pytest.mark.parametrize("k", [5, 27, 33])
+def test_count_python_reader_fallback(tmp_path, k, monkeypatch):
+    """The pure-Python bucketed reader + StreamingCounter path (used when
+    the native library is unavailable) must agree with the oracle."""
+    monkeypatch.setenv("KAT_TPU_NO_NATIVE", "1")
+    rng = random.Random(k * 7)
+    seqs = ["".join(rng.choice("ACGTN" if rng.random() < 0.05 else "ACGT")
+                    for _ in range(rng.randint(k, k + 80)))
+            for _ in range(20)]
+    fa = tmp_path / "f.fa"
+    _write_fasta(fa, seqs)
+    inp = Input(paths=[str(fa)])
+    inp.mer_len = k
+    inp.hash_size = 4096
+    inp.validate()
+    inp.count(quiet=True)
+    got = _table_dict(inp.table, k)
+    want = dict(oracle.count_seqs(seqs, k))
+    assert got == want
+
+
 @pytest.mark.parametrize("k", [5, 31, 33])
 def test_count_non_canonical_boundary(tmp_path, k):
     rng = random.Random(k)
