@@ -1,0 +1,2 @@
+"""Spectra analytics: Gaussian peak fitting, distribution analysis,
+histogram helpers (the reference's scripts/kat python package)."""

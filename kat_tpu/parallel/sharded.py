@@ -20,9 +20,9 @@ cooperative resize barrier (P7): capacity is static per shard and overflow
 is reported to the host, which re-launches at 2x — the observable behaviour
 of hash_counter.hpp:204-244's size doubling.
 
-Everything works on any mesh shape, including multi-axis meshes where the
-batch is additionally split over a data-parallel axis: pass all axis names in
-`axis_names`; routing runs over the flattened device space.
+Works on any mesh shape (multi-axis meshes route over the flattened device
+space) and for both narrow (k <= 31, 2-word) and wide (k <= 63, 4-word)
+keys.
 """
 
 from __future__ import annotations
@@ -36,8 +36,11 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..core import wide as wide_mod
 from ..core.counting import CountTable, _unique_reduce, table_from_numpy
-from ..core.kmers import SENTINEL, extract_kmers
+from ..core.kmers import MAX_K, SENTINEL, words_for_k
+from ..core.tables import extract
+from ..core.wide import WideTable, _unique_reduce_wide
 
 
 def make_mesh(n_devices: int | None = None,
@@ -54,16 +57,21 @@ def make_mesh(n_devices: int | None = None,
 
 
 def shard_hash(hi: jax.Array, lo: jax.Array) -> jax.Array:
-    """32-bit finalizer-style mixer over the packed key.
+    """32-bit finalizer-style mixer over a packed (hi, lo) key.
 
     Plays the role of jellyfish's random GF(2) matrix hash
     (rectangular_binary_matrix.hpp:138-146) for shard ownership: k-mer keys
     are highly structured (low entropy in high bits), so counts would skew
-    badly under a plain modulo.  murmur3-fmix32 over hi^rot(lo) spreads them.
+    badly under a plain modulo.  murmur3-fmix32 over the mixed words.
     """
-    x = (hi ^ jnp.uint32(0x9E3779B9)) * jnp.uint32(0x85EBCA6B)
-    x = x ^ (lo * jnp.uint32(0xC2B2AE35))
-    x = x ^ (x >> 16)
+    return shard_hash_words((hi, lo))
+
+
+def shard_hash_words(words) -> jax.Array:
+    x = words[0] ^ jnp.uint32(0x9E3779B9)
+    for w in words:
+        x = (x ^ w) * jnp.uint32(0x85EBCA6B)
+        x = x ^ (x >> 16)
     x = x * jnp.uint32(0x7FEB352D)
     x = x ^ (x >> 15)
     x = x * jnp.uint32(0x846CA68B)
@@ -71,19 +79,19 @@ def shard_hash(hi: jax.Array, lo: jax.Array) -> jax.Array:
     return x
 
 
-def _route_local(hi, lo, w, n_dest: int, cap: int):
-    """Bucket local k-mers by destination shard into a [n_dest, cap] buffer.
+def _route_local(words, w, n_dest: int, cap: int):
+    """Bucket local k-mers by destination shard into [n_dest, cap] buffers.
 
     Zero-weight (invalid/padding) entries are parked in a virtual overflow
-    destination so they can't flood a real bucket.  Returns (hi, lo, w)
-    buffers plus the number of *real* k-mers dropped because a bucket
+    destination so they can't flood a real bucket.  Returns word buffers, a
+    weight buffer, and the number of *real* k-mers dropped because a bucket
     overflowed (host checks and re-launches with bigger cap).
     """
-    W = hi.shape[0]
-    dest = (shard_hash(hi, lo) % jnp.uint32(n_dest)).astype(jnp.int32)
+    W = words[0].shape[0]
+    dest = (shard_hash_words(words) % jnp.uint32(n_dest)).astype(jnp.int32)
     dest = jnp.where(w > 0, dest, n_dest)  # park padding
-    d_s, hi_s, lo_s, w_s = jax.lax.sort(
-        (dest, hi, lo, w.astype(jnp.uint32)), num_keys=1)
+    d_s, *ws_s, w_s = jax.lax.sort(
+        (dest, *words, w.astype(jnp.uint32)), num_keys=1)
 
     idx = jnp.arange(W, dtype=jnp.int32)
     is_first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
@@ -101,49 +109,52 @@ def _route_local(hi, lo, w, n_dest: int, cap: int):
 
     in_range = (pos < cap) & (d_s < n_dest)
     target = jnp.where(in_range, d_s * cap + pos, n_dest * cap)
-    buf_hi = jnp.full((n_dest * cap,), SENTINEL, jnp.uint32).at[target].set(
-        hi_s, mode="drop")
-    buf_lo = jnp.full((n_dest * cap,), SENTINEL, jnp.uint32).at[target].set(
-        lo_s, mode="drop")
+    bufs = [jnp.full((n_dest * cap,), SENTINEL, jnp.uint32).at[target].set(
+        wd, mode="drop").reshape(n_dest, cap) for wd in ws_s]
     buf_w = jnp.zeros((n_dest * cap,), jnp.uint32).at[target].set(
-        w_s, mode="drop")
+        w_s, mode="drop").reshape(n_dest, cap)
     dropped = jnp.sum(jnp.where((~in_range) & (d_s < n_dest), w_s, 0),
                       dtype=jnp.uint64)
-    return (buf_hi.reshape(n_dest, cap), buf_lo.reshape(n_dest, cap),
-            buf_w.reshape(n_dest, cap), dropped)
+    return bufs, buf_w, dropped
 
 
-def _count_step_local(codes, thi, tlo, tc, *, k: int, canonical: bool,
+def _count_step_local(codes, *table_arrays, k: int, canonical: bool,
                       n_dest: int, route_cap: int, table_cap: int,
-                      axis_names: tuple[str, ...]):
+                      axis_names: tuple[str, ...], n_words: int):
     """Per-device body: extract -> route (all_to_all) -> absorb."""
+    twords = table_arrays[:n_words]
+    tc = table_arrays[n_words]
     codes = codes.reshape(-1, codes.shape[-1])
-    hi, lo, valid = extract_kmers(codes, k, canonical)
-    hi = hi.reshape(-1)
-    lo = lo.reshape(-1)
+    words, valid = extract(codes, k, canonical)
+    words = tuple(wd.reshape(-1) for wd in words)
     w = valid.reshape(-1).astype(jnp.uint32)
 
-    bhi, blo, bw, dropped = _route_local(hi, lo, w, n_dest, route_cap)
-    rhi = jax.lax.all_to_all(bhi, axis_names, 0, 0, tiled=True)
-    rlo = jax.lax.all_to_all(blo, axis_names, 0, 0, tiled=True)
+    bufs, bw, dropped = _route_local(words, w, n_dest, route_cap)
+    rwords = [jax.lax.all_to_all(b, axis_names, 0, 0, tiled=True)
+              for b in bufs]
     rw = jax.lax.all_to_all(bw, axis_names, 0, 0, tiled=True)
 
-    chi = jnp.concatenate([thi.reshape(-1), rhi.reshape(-1)])
-    clo = jnp.concatenate([tlo.reshape(-1), rlo.reshape(-1)])
+    cat = tuple(jnp.concatenate([tw.reshape(-1), rwd.reshape(-1)])
+                for tw, rwd in zip(twords, rwords))
     cw = jnp.concatenate([tc.reshape(-1), rw.reshape(-1)])
-    nhi, nlo, nc, n_unique = _unique_reduce(chi, clo, cw, table_cap)
+    if n_words == 2:
+        out = _unique_reduce(cat[0], cat[1], cw, table_cap)
+    else:
+        out = _unique_reduce_wide(cat, cw, table_cap)
+    *nwords, nc, n_unique = out
 
     dropped = jax.lax.psum(dropped, axis_names)
-    return (nhi[None], nlo[None], nc[None], n_unique[None], dropped)
+    return (*(wd[None] for wd in nwords), nc[None], n_unique[None], dropped)
 
 
 class ShardedCounter:
     """Streaming k-mer counter whose table lives sharded across a mesh.
 
-    Local shard tables are [1, capacity] slices of a [n_devices, capacity]
-    global array.  `add_codes` absorbs one [rows, L] uint8 code batch (rows
-    divisible by n_devices).  `finish` returns a host-merged CountTable;
-    `histogram` reduces on device and `psum`s.
+    Local shard tables are [1, capacity] slices of [n_devices, capacity]
+    global word/count arrays.  `add_codes` absorbs one [rows, L] uint8 code
+    batch (rows padded to a multiple of n_devices).  `finish` returns a
+    host-merged CountTable (k <= 31) or WideTable (k <= 63); `histogram`
+    reduces on device and `psum`s.
     """
 
     def __init__(self, mesh: Mesh, k: int, canonical: bool = True,
@@ -154,6 +165,7 @@ class ShardedCounter:
         self.k = k
         self.canonical = canonical
         self.n = int(np.prod(mesh.devices.shape))
+        self.n_words = words_for_k(k)
         self.shard_capacity = int(shard_capacity)
         self.route_slack = float(route_slack)
         self.dropped = 0
@@ -166,8 +178,8 @@ class ShardedCounter:
                            jnp.uint32)
         zeros_c = jnp.zeros((self.n, self.shard_capacity), jnp.uint32)
         nuniq = jnp.zeros((self.n,), jnp.int32)
-        self.thi = jax.device_put(zeros_k, self._tsharding)
-        self.tlo = jax.device_put(zeros_k, self._tsharding)
+        self.twords = [jax.device_put(zeros_k, self._tsharding)
+                       for _ in range(self.n_words)]
         self.tc = jax.device_put(zeros_c, self._tsharding)
         self.n_unique = jax.device_put(
             nuniq, NamedSharding(mesh, P(spec[0])))
@@ -183,16 +195,18 @@ class ShardedCounter:
             route_cap = max(route_cap, 1)
             spec = self._tspec
             nspec = P(spec[0])
+            nw = self.n_words
             body = functools.partial(
                 _count_step_local, k=self.k, canonical=self.canonical,
                 n_dest=self.n, route_cap=route_cap,
-                table_cap=self.shard_capacity, axis_names=self.axis_names)
+                table_cap=self.shard_capacity, axis_names=self.axis_names,
+                n_words=nw)
             fn = shard_map(
                 body, mesh=self.mesh,
-                in_specs=(spec, spec, spec, spec),
-                out_specs=(spec, spec, spec, nspec, P()),
-)
-            self._steps[key] = jax.jit(fn, donate_argnums=(1, 2, 3))
+                in_specs=(spec,) + (spec,) * (nw + 1),
+                out_specs=(spec,) * (nw + 1) + (nspec, P()))
+            self._steps[key] = jax.jit(
+                fn, donate_argnums=tuple(range(1, nw + 2)))
         return self._steps[key]
 
     def add_codes(self, codes) -> None:
@@ -205,8 +219,9 @@ class ShardedCounter:
             rows += pad
         codes = jax.device_put(codes, self._tsharding)
         fn = self._step_fn(rows, length)
-        self.thi, self.tlo, self.tc, self.n_unique, dropped = fn(
-            codes, self.thi, self.tlo, self.tc)
+        *outs, self.n_unique, dropped = fn(codes, *self.twords, self.tc)
+        self.twords = list(outs[:self.n_words])
+        self.tc = outs[self.n_words]
         self.dropped += int(dropped)
 
     def check(self) -> None:
@@ -220,20 +235,29 @@ class ShardedCounter:
                 f"shard table overflow: {n_u.max()} unique keys > capacity "
                 f"{self.shard_capacity}")
 
-    def finish(self) -> CountTable:
-        """Merge shard tables into one host-side sorted CountTable."""
+    def finish(self) -> CountTable | WideTable:
+        """Merge shard tables into one host-side sorted table."""
         self.check()
-        hi = np.asarray(self.thi, np.uint64)
-        lo = np.asarray(self.tlo, np.uint64)
-        c = np.asarray(self.tc, np.uint32)
-        keys = (hi << np.uint64(32)) | lo
         n_u = np.asarray(self.n_unique)
-        parts_k = [keys[i, :n_u[i]] for i in range(self.n)]
+        c = np.asarray(self.tc, np.uint32)
+        words = [np.asarray(tw, np.uint64) for tw in self.twords]
         parts_c = [c[i, :n_u[i]] for i in range(self.n)]
-        all_k = np.concatenate(parts_k) if parts_k else np.zeros(0, np.uint64)
         all_c = np.concatenate(parts_c) if parts_c else np.zeros(0, np.uint32)
-        cap = 1 << max(1, int(np.ceil(np.log2(max(len(all_k), 2)))))
-        return table_from_numpy(all_k, all_c, capacity=cap)
+        cap = 1 << max(1, int(np.ceil(np.log2(max(len(all_c), 2)))))
+        if self.n_words == 2:
+            keys = (words[0] << np.uint64(32)) | words[1]
+            parts_k = [keys[i, :n_u[i]] for i in range(self.n)]
+            all_k = np.concatenate(parts_k) if parts_k else \
+                np.zeros(0, np.uint64)
+            return table_from_numpy(all_k, all_c, capacity=cap)
+        key_ints = []
+        for i in range(self.n):
+            for j in range(n_u[i]):
+                v = 0
+                for wd in words:
+                    v = (v << 32) | int(wd[i, j])
+                key_ints.append(v)
+        return wide_mod.table_from_ints(key_ints, all_c, capacity=cap)
 
     def histogram(self, base: int, ceil: int, inc: int,
                   nb_buckets: int) -> np.ndarray:

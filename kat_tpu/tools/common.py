@@ -142,11 +142,13 @@ class Input:
             # Mesh-sharded counting engages automatically on multi-chip
             # accelerator backends; on CPU (tests, virtual meshes) it is
             # opt-in via KAT_TPU_SHARD=1 because per-shape shard_map
-            # compiles dwarf tiny workloads.  Wide keys (k > 31) use the
-            # single-device wide engine.
+            # compiles dwarf tiny workloads.
             want_shard = (os.environ.get("KAT_TPU_SHARD") == "1"
                           or jax.default_backend() != "cpu")
-            if self.mer_len > kmers.MAX_K:
+            if (n_dev > 1 and want_shard
+                    and not os.environ.get("KAT_TPU_NO_SHARD")):
+                self.table = self._count_sharded(n_dev)
+            elif self.mer_len > kmers.MAX_K:
                 from ..core import wide
 
                 sc = wide.WideCodeStreamingCounter(
@@ -158,9 +160,6 @@ class Input:
                 for batch in self._code_batches():
                     sc.add_codes(batch)
                 self.table = sc.finish()
-            elif (n_dev > 1 and want_shard
-                    and not os.environ.get("KAT_TPU_NO_SHARD")):
-                self.table = self._count_sharded(n_dev)
             else:
                 from ..io import native
 

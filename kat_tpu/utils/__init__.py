@@ -1,0 +1,2 @@
+"""Cross-cutting utilities: stage timers, jax.profiler tracing, sequence
+string helpers."""

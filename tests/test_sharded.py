@@ -79,6 +79,27 @@ def test_shard_hash_spreads():
     assert freq.max() < 0.25, freq  # perfect would be 0.125
 
 
+def test_sharded_wide_counts_match_oracle(batches):
+    """Wide keys (k > 31) through the sharded all_to_all path."""
+    seqs, _ = batches
+    k = 33
+    recs = [fastx.Record(f"s{i}", s.encode()) for i, s in enumerate(seqs)]
+    code_batches = list(fastx.encode_batches(iter(recs), k,
+                                             target_codes=1 << 12))
+    mesh = make_mesh(8)
+    sc = ShardedCounter(mesh, k=k, canonical=True, shard_capacity=1 << 12,
+                        route_slack=8.0)
+    for b in code_batches:
+        sc.add_codes(b)
+    table = sc.finish()
+    from kat_tpu.core import wide as wide_mod
+
+    keys, counts = wide_mod.table_to_numpy(table)
+    got = dict(zip(keys, counts.tolist()))
+    want = oracle.count_seqs(seqs, k)
+    assert got == dict(want)
+
+
 def test_route_overflow_detected(batches):
     seqs, code_batches = batches
     mesh = make_mesh(8)
