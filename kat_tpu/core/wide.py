@@ -212,25 +212,52 @@ def _grow_table(t: WideTable, capacity: int) -> WideTable:
         t.n_unique)
 
 
-def table_to_numpy(t: WideTable):
-    """(python-int keys list, counts) — keys exceed uint64 so stay ints."""
+def table_words_to_numpy(t: WideTable):
+    """(words [n, 4] uint32 big-first, counts [n] uint32) — vectorized host
+    export of the real entries (no per-key python loop)."""
     n = int(t.n_unique)
-    words = [np.asarray(w[:n], np.uint64) for w in t.words]
+    words = np.stack([np.asarray(w[:n], np.uint32) for w in t.words], axis=1)
     counts = np.asarray(t.counts[:n], np.uint32)
-    keys = ((words[0] << np.uint64(32)) | words[1]).astype(object)
-    low = (words[2] << np.uint64(32)) | words[3]
-    keys = [(int(h) << 64) | int(lo) for h, lo in zip(keys, low)]
+    return words, counts
+
+
+def table_to_numpy(t: WideTable):
+    """(python-int keys list, counts) — keys exceed uint64 so stay ints.
+
+    Vectorized to two uint64 halves; only the final u128 assembly is a
+    (cheap) python comprehension over pre-combined halves."""
+    words, counts = table_words_to_numpy(t)
+    w64 = words.astype(np.uint64)
+    high = (w64[:, 0] << np.uint64(32)) | w64[:, 1]
+    low = (w64[:, 2] << np.uint64(32)) | w64[:, 3]
+    keys = [(int(h) << 64) | int(lo) for h, lo in zip(high, low)]
     return keys, counts
+
+
+def table_from_words(words: np.ndarray, counts: np.ndarray,
+                     capacity: int | None = None) -> WideTable:
+    """Build a wide table from host ([n, 4] uint32 big-first words, counts);
+    keys need not be sorted or unique (duplicates are summed)."""
+    words = np.asarray(words, np.uint32).reshape(-1, N_WORDS_WIDE)
+    counts = np.asarray(counts, np.uint32)
+    cap = capacity or max(1, words.shape[0])
+    wt = tuple(jnp.asarray(words[:, i]) for i in range(N_WORDS_WIDE))
+    return WideTable(*_unique_reduce_wide(wt, jnp.asarray(counts), cap))
+
+
+def ints_to_words(keys) -> np.ndarray:
+    """Python-int keys -> [n, 4] uint32 big-first words."""
+    keys = list(keys)
+    ws = np.zeros((len(keys), N_WORDS_WIDE), np.uint32)
+    for i, kk in enumerate(keys):
+        for wi in range(N_WORDS_WIDE):
+            ws[i, wi] = (kk >> (32 * (N_WORDS_WIDE - 1 - wi))) & 0xFFFFFFFF
+    return ws
 
 
 def table_from_ints(keys, counts, capacity: int | None = None) -> WideTable:
     """Build a wide table from python-int keys (host-side)."""
-    keys = list(keys)
+    words = ints_to_words(keys)
     counts = np.asarray(counts, np.uint32)
-    cap = capacity or max(1, len(keys))
-    ws = [np.zeros(len(keys), np.uint32) for _ in range(N_WORDS_WIDE)]
-    for i, kk in enumerate(keys):
-        for wi in range(N_WORDS_WIDE):
-            ws[wi][i] = (kk >> (32 * (N_WORDS_WIDE - 1 - wi))) & 0xFFFFFFFF
-    words = tuple(jnp.asarray(w) for w in ws)
-    return WideTable(*_unique_reduce_wide(words, jnp.asarray(counts), cap))
+    cap = capacity or max(1, words.shape[0])
+    return table_from_words(words, counts, cap)

@@ -6,6 +6,9 @@ for interchange (io/jellyfish.py) and adds a native sharded checkpoint for
 large tables: one .npz per shard plus a JSON manifest carrying k, the
 canonical flag, the shard count and the shard-hash identifier, so a resumed
 run can place shards directly on the same mesh layout without re-routing.
+
+Both narrow (k <= 31, u64 keys) and wide (k > 31, [n, 4] uint32 word rows)
+tables are supported; the manifest's "key_words" field records which.
 """
 
 from __future__ import annotations
@@ -15,25 +18,42 @@ import os
 
 import numpy as np
 
-from ..core import counting
+from ..core import counting, wide as wide_mod
 
 MANIFEST = "manifest.json"
 SHARD_HASH_ID = "fmix32-v1"  # parallel.sharded.shard_hash
 
 
-def save_table(path: str, table: counting.CountTable, k: int,
-               canonical: bool, n_shards: int = 1) -> None:
-    """Checkpoint a host-side CountTable, re-partitioned into n_shards by
-    the same owner-shard hash the mesh uses."""
-    os.makedirs(path, exist_ok=True)
-    keys, counts = counting.table_to_numpy(table)
-    if n_shards > 1:
-        hi = (keys >> np.uint64(32)).astype(np.uint32)
-        lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        from ..parallel.sharded import shard_hash
-        dest = np.asarray(shard_hash(hi, lo)) % np.uint32(n_shards)
+def _shard_dest(keys_or_words: np.ndarray, n_shards: int,
+                wide: bool) -> np.ndarray:
+    from ..parallel.sharded import shard_hash_words
+
+    if wide:
+        words = tuple(keys_or_words[:, i].astype(np.uint32)
+                      for i in range(keys_or_words.shape[1]))
     else:
-        dest = np.zeros(len(keys), np.uint32)
+        keys = keys_or_words
+        words = ((keys >> np.uint64(32)).astype(np.uint32),
+                 (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    return np.asarray(shard_hash_words(words)) % np.uint32(n_shards)
+
+
+def save_table(path: str, table: counting.CountTable | wide_mod.WideTable,
+               k: int, canonical: bool, n_shards: int = 1) -> None:
+    """Checkpoint a host-side CountTable or WideTable, re-partitioned into
+    n_shards by the same owner-shard hash the mesh uses."""
+    os.makedirs(path, exist_ok=True)
+    wide = isinstance(table, wide_mod.WideTable)
+    if wide:
+        keys, counts = wide_mod.table_words_to_numpy(table)
+        key_words = keys.shape[1]
+    else:
+        keys, counts = counting.table_to_numpy(table)
+        key_words = 2
+    if n_shards > 1:
+        dest = _shard_dest(keys, n_shards, wide)
+    else:
+        dest = np.zeros(len(counts), np.uint32)
     for s in range(n_shards):
         m = dest == s
         np.savez_compressed(os.path.join(path, f"shard_{s:05d}.npz"),
@@ -41,12 +61,13 @@ def save_table(path: str, table: counting.CountTable, k: int,
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump({
             "format": "kat_tpu/count_table",
-            "version": 1,
+            "version": 2,
             "k": int(k),
             "canonical": bool(canonical),
             "n_shards": int(n_shards),
             "shard_hash": SHARD_HASH_ID,
-            "n_unique": int(len(keys)),
+            "key_words": int(key_words),
+            "n_unique": int(len(counts)),
             "total": int(counts.sum(dtype=np.uint64)),
         }, f, indent=2)
 
@@ -59,20 +80,26 @@ def load_manifest(path: str) -> dict:
     return m
 
 
-def load_table(path: str) -> tuple[counting.CountTable, dict]:
-    """Load a checkpoint into one host-side CountTable (+ manifest)."""
+def load_table(path: str) -> tuple[
+        counting.CountTable | wide_mod.WideTable, dict]:
+    """Load a checkpoint into one host-side table (+ manifest)."""
     m = load_manifest(path)
+    wide = m.get("key_words", 2) > 2
     keys_parts = []
     counts_parts = []
     for s in range(m["n_shards"]):
         z = np.load(os.path.join(path, f"shard_{s:05d}.npz"))
         keys_parts.append(z["keys"])
         counts_parts.append(z["counts"])
-    keys = np.concatenate(keys_parts) if keys_parts else \
-        np.zeros(0, np.uint64)
     counts = np.concatenate(counts_parts) if counts_parts else \
         np.zeros(0, np.uint32)
-    cap = 1 << max(1, int(np.ceil(np.log2(max(len(keys), 2)))))
+    cap = 1 << max(1, int(np.ceil(np.log2(max(len(counts), 2)))))
+    if wide:
+        words = np.concatenate(keys_parts) if keys_parts else \
+            np.zeros((0, m["key_words"]), np.uint32)
+        return wide_mod.table_from_words(words, counts, capacity=cap), m
+    keys = np.concatenate(keys_parts) if keys_parts else \
+        np.zeros(0, np.uint64)
     return counting.table_from_numpy(keys, counts, capacity=cap), m
 
 

@@ -250,14 +250,12 @@ class ShardedCounter:
             all_k = np.concatenate(parts_k) if parts_k else \
                 np.zeros(0, np.uint64)
             return table_from_numpy(all_k, all_c, capacity=cap)
-        key_ints = []
-        for i in range(self.n):
-            for j in range(n_u[i]):
-                v = 0
-                for wd in words:
-                    v = (v << 32) | int(wd[i, j])
-                key_ints.append(v)
-        return wide_mod.table_from_ints(key_ints, all_c, capacity=cap)
+        parts_w = [np.stack([wd[i, :n_u[i]] for wd in words], axis=1)
+                   for i in range(self.n)]
+        all_w = (np.concatenate(parts_w) if parts_w else
+                 np.zeros((0, self.n_words), np.uint64))
+        return wide_mod.table_from_words(all_w.astype(np.uint32), all_c,
+                                         capacity=cap)
 
     def histogram(self, base: int, ceil: int, inc: int,
                   nb_buckets: int) -> np.ndarray:

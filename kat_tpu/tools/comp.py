@@ -23,7 +23,9 @@ from .common import Input, InputMode, ensure_parent_dir
 
 def _fmt_g(x: float) -> str:
     """C++ default ostream float formatting (6 significant digits, %g)."""
-    return f"{x:g}"
+    from ..utils.fmt import cpp_double
+
+    return cpp_double(x)
 
 
 class Comp:

@@ -282,13 +282,32 @@ class Sect:
                       f"{pct_invalid:.5f}\t{nb_nonzero}\t"
                       f"{pct_nonzero:.5f}\t{pct_nonzero_corr:.5f}\n")
 
-            # Contamination matrix: y is always 0 because average_cvg is
-            # never assigned (reference sect.cc:503, SURVEY §5.1.1).
+            # Contamination matrix y bin (reference sect.cc:592-601).
+            # average_cvg is declared but never assigned (sect.cc:503,
+            # SURVEY §5.1.1) so it is always 0.0; we execute the same
+            # compression arithmetic anyway so the -l/--cvg_logscale path
+            # exercises log10 exactly like the reference: log10(0) = -inf,
+            # and the double->uint16_t conversion of -inf goes through
+            # x86 cvttsd2si (INT32_MIN) truncated to 16 bits = 0 — i.e.
+            # y == 0 in both modes, by the same route the binary takes.
+            average_cvg = 0.0
+            if self.cvg_logscale:
+                log_cvg = (math.log10(average_cvg) if average_cvg > 0
+                           else float("-inf"))
+                compressed_cvg = log_cvg * (self.cvg_bins / 5.0)
+            else:
+                compressed_cvg = average_cvg * 0.1
+            if compressed_cvg >= self.cvg_bins:
+                y = self.cvg_bins - 1
+            elif math.isfinite(compressed_cvg) and 0 <= compressed_cvg:
+                y = int(compressed_cvg) & 0xFFFF
+            else:
+                y = 0x8000_0000 & 0xFFFF  # cvttsd2si sentinel, truncated
             if not math.isnan(gc_perc):
                 x = int(gc_perc * self.gc_bins)
-                self._grid[min(x, self.gc_bins), 0] += np.uint64(seq_len)
+                self._grid[min(x, self.gc_bins), y] += np.uint64(seq_len)
             else:
-                self._grid[0, 0] += np.uint64(seq_len)
+                self._grid[0, y] += np.uint64(seq_len)
 
     def print_contamination_matrix(self, out) -> None:
         mx = self.contamination_mx

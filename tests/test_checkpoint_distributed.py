@@ -80,3 +80,46 @@ def test_shard_files_single_process(tmp_path):
 def test_global_mesh_cpu():
     mesh = distributed.global_mesh()
     assert int(np.prod(mesh.devices.shape)) == 8  # conftest forces 8
+
+
+@pytest.fixture
+def wide_table():
+    from kat_tpu.core import wide as wide_mod
+
+    rng = random.Random(29)
+    seqs = ["".join(rng.choice("ACGT") for _ in range(120))
+            for _ in range(12)]
+    k = 41
+    hc = oracle.count_seqs(seqs, k)
+    words = wide_mod.ints_to_words(list(hc.keys()))
+    counts = np.fromiter(hc.values(), np.uint32, len(hc))
+    return wide_mod.table_from_words(words, counts, capacity=2048), hc, k
+
+
+@pytest.mark.parametrize("n_shards", [1, 4])
+def test_wide_checkpoint_roundtrip(tmp_path, wide_table, n_shards):
+    from kat_tpu.core import wide as wide_mod
+
+    t, hc, k = wide_table
+    checkpoint.save_table(str(tmp_path / "ck"), t, k=k, canonical=True,
+                          n_shards=n_shards)
+    loaded, manifest = checkpoint.load_table(str(tmp_path / "ck"))
+    assert manifest["key_words"] == 4
+    assert manifest["n_unique"] == len(hc)
+    keys, counts = wide_mod.table_to_numpy(loaded)
+    assert dict(zip(keys, counts.tolist())) == dict(hc)
+
+
+def test_wide_checkpoint_shards_disjoint(tmp_path, wide_table):
+    t, hc, k = wide_table
+    checkpoint.save_table(str(tmp_path / "ck"), t, k=k, canonical=True,
+                          n_shards=4)
+    total = 0
+    seen = set()
+    for s in range(4):
+        words, _counts = checkpoint.load_shard(str(tmp_path / "ck"), s)
+        ks = {tuple(row) for row in words.tolist()}
+        assert not (seen & ks)
+        seen |= ks
+        total += len(ks)
+    assert total == len(hc)

@@ -176,3 +176,25 @@ def test_sect_regions(run):
     assert lines[0] == ">x___region:1_length:11_pos:1:12_cov:2+"
     seq = "ACGTACGTACGTA"
     assert lines[1] == seq[0:2] + seq[3:12]
+
+
+def test_sect_cvg_logscale_same_y0(data):
+    """-l/--cvg_logscale executes the reference's log10 compression path
+    (sect.cc:592-598), but because average_cvg is never assigned the
+    double->uint16_t conversion of log10(0)*-inf lands in bin 0 exactly
+    like the linear path: the contamination matrix must be identical."""
+    tmp, reads, targets, reads_fa, target_fa = data
+    for logscale, name in ((False, "lin"), (True, "log")):
+        s = Sect([reads_fa], target_fa)
+        s.output_prefix = str(tmp / f"cvg_{name}")
+        s.cvg_logscale = logscale
+        s.quiet = True
+        s.input.mer_len = 11
+        s.execute()
+        s.save()
+    lin = open(str(tmp / "cvg_lin-contamination.mx")).read()
+    log = open(str(tmp / "cvg_log-contamination.mx")).read()
+    assert lin == log
+    body = [ln for ln in lin.splitlines() if ln and not ln.startswith("#")]
+    arr = np.array([[int(v) for v in ln.split(" ")] for ln in body])
+    assert arr[:, 1:].sum() == 0 and arr[:, 0].sum() > 0
