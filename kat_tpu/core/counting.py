@@ -20,6 +20,7 @@ capacity — same observable behaviour, no device-side mutation.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -27,6 +28,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from .kmers import SENTINEL
+
+
+@functools.cache
+def kernels_enabled() -> bool:
+    """Use Pallas TPU kernels for the post-sort reduce?  On by default on
+    TPU-class backends; KAT_TPU_NO_KERNEL=1 disables, KAT_TPU_KERNEL=1
+    forces interpret-mode kernels on CPU (slow; for debugging only)."""
+    if os.environ.get("KAT_TPU_NO_KERNEL"):
+        return False
+    if os.environ.get("KAT_TPU_KERNEL"):
+        return True
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
+def _kernel_interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
 
 
 class CountTable(NamedTuple):
@@ -98,6 +118,12 @@ def _unique_reduce(hi, lo, w, out_size: int):
     """
     n = hi.shape[0]
     hi_s, lo_s, w_s = jax.lax.sort((hi, lo, w), num_keys=2)
+
+    if kernels_enabled():
+        from ..ops.reduce_kernel import reduce_compact_sorted
+
+        return reduce_compact_sorted((hi_s, lo_s), w_s, out_size,
+                                     interpret=_kernel_interpret())
 
     nxt_same = (hi_s[:-1] == hi_s[1:]) & (lo_s[:-1] == lo_s[1:])
     is_last = jnp.concatenate([~nxt_same, jnp.ones((1,), jnp.bool_)])
@@ -233,6 +259,13 @@ class CodeStreamingCounter:
             k = self.k
             canonical = self.canonical
 
+            # _unique_reduce routes through the Pallas reduce kernel on
+            # TPU backends (one bandwidth pass replacing the segmented
+            # scan + compaction sort).  NOTE: a bitonic-merge variant that
+            # skips re-sorting the resident table was tried and reverted —
+            # XLA materializes every merge stage (36GB assignment at 2^26)
+            # instead of aliasing them; see ops/merge.py.  A memory-bounded
+            # Pallas merge kernel is the planned replacement.
             @jax.jit
             def fused(thi, tlo, tc, codes):
                 hi, lo, valid = extract_kmers(
@@ -251,7 +284,16 @@ class CodeStreamingCounter:
             return
         rows, length = self._shape
         b = len(self._codes)
-        target_b = 1 << max(0, int(np.ceil(np.log2(b))))
+        # Steady-state flushes (b == flush_batches) keep their exact batch
+        # count — one standing compiled shape, and a flush_batches chosen so
+        # table + windows lands just under a power of two wastes no merge
+        # bandwidth.  Only the final partial flush pads to a power of two
+        # (log-many residual shapes).
+        if b == self.flush_batches:
+            target_b = b
+        else:
+            target_b = min(1 << max(0, int(np.ceil(np.log2(b)))),
+                           self.flush_batches)
         pad = [jnp.full((rows, length), 255, jnp.uint8)] * (target_b - b)
         stack = jnp.stack(self._codes + pad)
         self._codes = []

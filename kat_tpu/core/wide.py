@@ -51,6 +51,14 @@ def _unique_reduce_wide(words, w, out_size: int):
     n = words[0].shape[0]
     *ws_sorted, w_s = jax.lax.sort((*words, w), num_keys=N_WORDS_WIDE)
 
+    from .counting import _kernel_interpret, kernels_enabled
+
+    if kernels_enabled():
+        from ..ops.reduce_kernel import reduce_compact_sorted
+
+        return reduce_compact_sorted(tuple(ws_sorted), w_s, out_size,
+                                     interpret=_kernel_interpret())
+
     nxt_same = jnp.ones((n - 1,), jnp.bool_)
     for wd in ws_sorted:
         nxt_same = nxt_same & (wd[:-1] == wd[1:])
@@ -160,6 +168,8 @@ class WideCodeStreamingCounter:
             k = self.k
             canonical = self.canonical
 
+            # _unique_reduce_wide routes through the Pallas reduce kernel
+            # on TPU backends (see counting.CodeStreamingCounter._flush_fn).
             @jax.jit
             def fused(t: WideTable, codes):
                 words, valid = extract_kmers_wide(
@@ -178,7 +188,12 @@ class WideCodeStreamingCounter:
             return
         rows, length = self._shape
         b = len(self._codes)
-        target_b = 1 << max(0, int(np.ceil(np.log2(b))))
+        # see counting.CodeStreamingCounter._flush: exact steady-state shape
+        if b == self.flush_batches:
+            target_b = b
+        else:
+            target_b = min(1 << max(0, int(np.ceil(np.log2(b)))),
+                           self.flush_batches)
         pad = [jnp.full((rows, length), 255, jnp.uint8)] * (target_b - b)
         stack = jnp.stack(self._codes + pad)
         self._codes = []

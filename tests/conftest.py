@@ -38,8 +38,10 @@ if _want == "cpu":
     import jax
     from jax._src import xla_bridge as _xb
 
-    for _plat in ("axon", "tpu"):
-        _xb._backend_factories.pop(_plat, None)
+    # Pop only the tunnel plugin: removing the builtin "tpu" factory breaks
+    # jax.experimental.pallas import (its checkify lowerings register for
+    # the "tpu" platform, which must stay a *known* platform).
+    _xb._backend_factories.pop("axon", None)
     jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
