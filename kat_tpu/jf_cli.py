@@ -44,7 +44,7 @@ def cmd_count(args) -> int:
     inp.count(quiet=not args.verbose)
     from .core.counting import table_to_numpy
 
-    keys, counts = table_to_numpy(inp.table)
+    keys, counts = table_to_numpy(inp.host_table())
     jellyfish.write_jf(args.output, keys, counts, args.mer_len,
                        args.canonical, cmdline=sys.argv)
     return 0

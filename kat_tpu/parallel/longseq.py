@@ -91,3 +91,91 @@ def sharded_window_counts(table: CountTable, codes: np.ndarray, k: int,
                           canonical: bool, mesh: Mesh) -> np.ndarray:
     """Counts-only convenience wrapper over sharded_window_profile."""
     return sharded_window_profile(table, codes, k, canonical, mesh)[0]
+
+
+# ---------------------------------------------------------------------------
+# Routed halo path: sequence parallelism WITHOUT table replication.  Each
+# device extracts the windows of its span (ring halo for the (k-1) seam as
+# above) and answers them via shard-routed lookups into the mesh-resident
+# sharded table (P6 + P8 combined) — at real scale a 10^9-entry table
+# cannot be replicated per device.  Narrow and wide keys both supported.
+# ---------------------------------------------------------------------------
+
+
+def _halo_routed_body(codes_l, *targs, k: int, canonical: bool, n: int,
+                      qcap: int, axis_names, n_words: int):
+    from ..core import tables as _tables
+    from .analysis import _local_table, _routed_counts_local
+
+    t = _local_table(n_words, targs)
+    edge = jax.lax.slice_in_dim(codes_l.reshape(-1), 0, k - 1)
+    halo = jax.lax.ppermute(
+        edge, axis_names, perm=[(i, (i - 1) % n) for i in range(n)])
+    ext = jnp.concatenate([codes_l.reshape(-1), halo])
+    words, valid = _tables.extract(ext[None], k, canonical=False)
+    q = _tables.canonicalize(words, k) if canonical else words
+    counts, dropped = _routed_counts_local(
+        t, tuple(w.reshape(-1) for w in q), n, qcap, k, axis_names)
+    counts = jnp.where(valid.reshape(-1), counts, 0)
+    gc = jnp.where(valid,
+                   _tables.gc_count(words).astype(jnp.int32), -1)
+    return counts.reshape(1, -1), gc.reshape(1, -1), dropped
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "canonical", "qcap", "n_words",
+                                    "mesh"))
+def _halo_routed(codes, *targs, k: int, canonical: bool, qcap: int,
+                 n_words: int, mesh: Mesh):
+    axis_names = tuple(mesh.axis_names)
+    n = int(np.prod(mesh.devices.shape))
+    span = codes.shape[0] // n
+    # multi-axis meshes route over the flattened device space, matching
+    # ShardedCounter's table layout
+    first = axis_names if len(axis_names) > 1 else axis_names[0]
+    spec = P(first, None)
+    nspec = P(first)
+    body = functools.partial(
+        _halo_routed_body, k=k, canonical=canonical, n=n, qcap=qcap,
+        axis_names=axis_names, n_words=n_words)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec,) + (spec,) * (n_words + 1) + (nspec,),
+        out_specs=(spec, spec, P()),
+        check_vma=False)
+    return fn(codes.reshape(n, span), *targs)
+
+
+def sharded_window_profile_routed(counter, codes: np.ndarray, k: int,
+                                  canonical: bool
+                                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-window (counts, gc) of one long sequence against a live
+    ShardedCounter: spans + ring halo for extraction, all_to_all-routed
+    lookups for the counts (reference sect.cc:527-541 random probes; the
+    table stays sharded)."""
+    codes = np.asarray(codes, np.uint8)
+    L = codes.shape[0]
+    if L < k:
+        return np.zeros(0, np.uint32), np.zeros(0, np.int32)
+    mesh = counter.mesh
+    n = counter.n
+    span = -(-L // n)  # ceil
+    pad = n * span - L
+    padded = jnp.asarray(np.concatenate(
+        [codes, np.full(pad, 255, np.uint8)]))
+    targs = (*counter.twords, counter.tc, counter.n_unique)
+    # each span holds `span` windows; with the canonical-hash balance a
+    # 4x slack over the uniform share is plenty (retried on overflow)
+    qcap = max(1, min(span, int(np.ceil(span / n * 4.0))))
+    while True:
+        counts, gc, dropped = _halo_routed(
+            padded, *targs, k=k, canonical=canonical, qcap=qcap,
+            n_words=counter.n_words, mesh=mesh)
+        if int(dropped) == 0:
+            break
+        if qcap >= span:
+            raise RuntimeError("routed halo lookup cannot converge")
+        qcap = min(span, qcap * 2)
+    nw = L - k + 1
+    return (np.asarray(counts).reshape(-1)[:nw],
+            np.asarray(gc).reshape(-1)[:nw])

@@ -43,17 +43,23 @@ from ..core.tables import extract
 from ..core.wide import WideTable, _unique_reduce_wide
 
 
+@functools.lru_cache(maxsize=None)
+def _cached_mesh(n: int, shape: tuple, axis_names: tuple) -> Mesh:
+    devs = jax.devices()
+    arr = np.asarray(devs[:n]).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
 def make_mesh(n_devices: int | None = None,
               shape: Sequence[int] | None = None,
               axis_names: Sequence[str] = ("shards",)) -> Mesh:
-    """Mesh over the first n devices; default 1D axis "shards"."""
-    devs = jax.devices()
-    n = n_devices or len(devs)
+    """Mesh over the first n devices; default 1D axis "shards".  Cached so
+    co-partitioned counters (comp's inputs) share one Mesh object."""
+    n = n_devices or len(jax.devices())
     shape = tuple(shape) if shape is not None else (n,)
     if int(np.prod(shape)) != n:
         raise ValueError(f"mesh shape {shape} != {n} devices")
-    arr = np.asarray(devs[:n]).reshape(shape)
-    return Mesh(arr, tuple(axis_names))
+    return _cached_mesh(n, shape, tuple(axis_names))
 
 
 def shard_hash(hi: jax.Array, lo: jax.Array) -> jax.Array:
@@ -79,7 +85,22 @@ def shard_hash_words(words) -> jax.Array:
     return x
 
 
-def _route_local(words, w, n_dest: int, cap: int):
+def owner_shard(words, k: int, n_dest: int) -> jax.Array:
+    """Shard ownership of a key: hash of its CANONICAL form.
+
+    Owning by canonical hash (not raw hash) guarantees that a key, its
+    reverse complement, and any canonicalized probe of it land on the same
+    shard — the property that makes the whole analysis phase (comp's
+    cross-hash probes, sect/cold lookups) local joins on co-partitioned
+    shards (SURVEY §7 step 6; reference src/comp.cc:447 canonicalizes
+    pass-2 probes unconditionally)."""
+    from ..core import tables
+
+    cwords = tables.canonicalize(words, k)
+    return (shard_hash_words(cwords) % jnp.uint32(n_dest)).astype(jnp.int32)
+
+
+def _route_local(words, w, n_dest: int, cap: int, k: int):
     """Bucket local k-mers by destination shard into [n_dest, cap] buffers.
 
     Zero-weight (invalid/padding) entries are parked in a virtual overflow
@@ -88,7 +109,7 @@ def _route_local(words, w, n_dest: int, cap: int):
     overflowed (host checks and re-launches with bigger cap).
     """
     W = words[0].shape[0]
-    dest = (shard_hash_words(words) % jnp.uint32(n_dest)).astype(jnp.int32)
+    dest = owner_shard(words, k, n_dest)
     dest = jnp.where(w > 0, dest, n_dest)  # park padding
     d_s, *ws_s, w_s = jax.lax.sort(
         (dest, *words, w.astype(jnp.uint32)), num_keys=1)
@@ -129,7 +150,7 @@ def _count_step_local(codes, *table_arrays, k: int, canonical: bool,
     words = tuple(wd.reshape(-1) for wd in words)
     w = valid.reshape(-1).astype(jnp.uint32)
 
-    bufs, bw, dropped = _route_local(words, w, n_dest, route_cap)
+    bufs, bw, dropped = _route_local(words, w, n_dest, route_cap, k)
     rwords = [jax.lax.all_to_all(b, axis_names, 0, 0, tiled=True)
               for b in bufs]
     rw = jax.lax.all_to_all(bw, axis_names, 0, 0, tiled=True)
@@ -174,15 +195,25 @@ class ShardedCounter:
                  else self.axis_names[0], None)
         self._tspec = spec
         self._tsharding = NamedSharding(mesh, spec)
-        zeros_k = jnp.full((self.n, self.shard_capacity), SENTINEL,
-                           jnp.uint32)
-        zeros_c = jnp.zeros((self.n, self.shard_capacity), jnp.uint32)
-        nuniq = jnp.zeros((self.n,), jnp.int32)
-        self.twords = [jax.device_put(zeros_k, self._tsharding)
-                       for _ in range(self.n_words)]
-        self.tc = jax.device_put(zeros_c, self._tsharding)
-        self.n_unique = jax.device_put(
-            nuniq, NamedSharding(mesh, P(spec[0])))
+        self._nsharding = NamedSharding(mesh, P(spec[0]))
+        self.multiprocess = jax.process_count() > 1
+
+        def filled(shape, sharding, fill, dtype):
+            # make_array_from_callback works in single- AND multi-process
+            # runs (device_put of a full array requires every device to be
+            # addressable, which fails across hosts)
+            def piece(idx):
+                pshape = tuple(
+                    len(range(*s.indices(d))) for s, d in zip(idx, shape))
+                return np.full(pshape, fill, dtype)
+
+            return jax.make_array_from_callback(shape, sharding, piece)
+
+        cap_shape = (self.n, self.shard_capacity)
+        self.twords = [filled(cap_shape, self._tsharding, SENTINEL,
+                              np.uint32) for _ in range(self.n_words)]
+        self.tc = filled(cap_shape, self._tsharding, 0, np.uint32)
+        self.n_unique = filled((self.n,), self._nsharding, 0, np.int32)
         self._steps: dict = {}
 
     def _step_fn(self, rows: int, length: int):
@@ -210,26 +241,52 @@ class ShardedCounter:
         return self._steps[key]
 
     def add_codes(self, codes) -> None:
-        codes = jnp.asarray(codes, jnp.uint8)
+        """Absorb one [rows, L] uint8 code batch.
+
+        In a multi-process run every process passes its OWN rows (the same
+        row count everywhere — pad short batches); the global batch is the
+        process-major concatenation."""
+        codes = np.asarray(codes, np.uint8)
         rows, length = codes.shape
-        if rows % self.n:
-            pad = self.n - rows % self.n
-            codes = jnp.concatenate(
-                [codes, jnp.full((pad, length), 255, jnp.uint8)])
-            rows += pad
-        codes = jax.device_put(codes, self._tsharding)
+        if self.multiprocess:
+            n_local = jax.local_device_count()
+            if rows % n_local:
+                pad = n_local - rows % n_local
+                codes = np.concatenate(
+                    [codes, np.full((pad, length), 255, np.uint8)])
+                rows += pad
+            rows *= jax.process_count()
+            codes = jax.make_array_from_process_local_data(
+                self._tsharding, codes, (rows, length))
+        else:
+            if rows % self.n:
+                pad = self.n - rows % self.n
+                codes = np.concatenate(
+                    [codes, np.full((pad, length), 255, np.uint8)])
+                rows += pad
+            codes = jax.device_put(jnp.asarray(codes), self._tsharding)
         fn = self._step_fn(rows, length)
         *outs, self.n_unique, dropped = fn(codes, *self.twords, self.tc)
         self.twords = list(outs[:self.n_words])
         self.tc = outs[self.n_words]
         self.dropped += int(dropped)
 
+    def _host_array(self, arr) -> np.ndarray:
+        """Full host copy of a mesh-sharded array (allgather across
+        processes when the mesh spans hosts)."""
+        if self.multiprocess:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(arr, tiled=True))
+        return np.asarray(arr)
+
     def check(self) -> None:
         if self.dropped:
             raise RuntimeError(
                 f"{self.dropped} k-mers dropped in routing; increase "
                 "route_slack")
-        n_u = np.asarray(self.n_unique)
+        n_u = self._host_array(self.n_unique)
         if (n_u > self.shard_capacity).any():
             raise RuntimeError(
                 f"shard table overflow: {n_u.max()} unique keys > capacity "
@@ -238,9 +295,10 @@ class ShardedCounter:
     def finish(self) -> CountTable | WideTable:
         """Merge shard tables into one host-side sorted table."""
         self.check()
-        n_u = np.asarray(self.n_unique)
-        c = np.asarray(self.tc, np.uint32)
-        words = [np.asarray(tw, np.uint64) for tw in self.twords]
+        n_u = self._host_array(self.n_unique)
+        c = self._host_array(self.tc).astype(np.uint32)
+        words = [self._host_array(tw).astype(np.uint64)
+                 for tw in self.twords]
         parts_c = [c[i, :n_u[i]] for i in range(self.n)]
         all_c = np.concatenate(parts_c) if parts_c else np.zeros(0, np.uint32)
         cap = 1 << max(1, int(np.ceil(np.log2(max(len(all_c), 2)))))

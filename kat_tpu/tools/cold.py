@@ -74,14 +74,8 @@ class Cold:
         acounts: list[np.ndarray | None] = [None] * len(records)
         invalids: list[np.ndarray | None] = [None] * len(records)
         for codes, meta in fastx.encode_batch_indexed(records, k):
-            codes = jnp.asarray(codes)
-            rc, _g, valid = coverage.window_counts(
-                self.reads.table, codes, k, self.reads.canonical)
-            ac, _g2, _v2 = coverage.window_counts(
-                self.assembly.table, codes, k, self.assembly.canonical)
-            rc = np.asarray(rc)
-            ac = np.asarray(ac)
-            valid = np.asarray(valid)
+            rc, _g, valid = self.reads.window_counts(codes)
+            ac, _g2, _v2 = self.assembly.window_counts(codes)
             for row, (ri, start, nw) in enumerate(meta):
                 if rcounts[ri] is None:
                     w_total = len(records[ri].seq) - k + 1

@@ -100,6 +100,10 @@ class Input:
     mode: InputMode = InputMode.COUNT
     table: counting.CountTable | None = None
     header: jellyfish.JfHeader | None = None
+    # Live mesh-sharded counter (tables resident on the mesh).  When set,
+    # the analysis phase runs sharded (parallel/analysis.py) and the host
+    # table is only materialized on explicit demand (host_table()).
+    shards: object | None = None
 
     def validate(self) -> None:
         if self.trim5 and len(self.trim5) not in (1, len(self.paths)):
@@ -147,7 +151,7 @@ class Input:
                           or jax.default_backend() != "cpu")
             if (n_dev > 1 and want_shard
                     and not os.environ.get("KAT_TPU_NO_SHARD")):
-                self.table = self._count_sharded(n_dev)
+                self.shards = self._count_sharded(n_dev)
             elif self.mer_len > kmers.MAX_K:
                 from ..core import wide
 
@@ -186,16 +190,50 @@ class Input:
                             batch, self.mer_len, self.canonical)
                         sc.add(hi, lo, valid)
                 self.table = sc.finish()
+        if self.shards is not None:
+            n_uniq = int(np.asarray(self.shards.n_unique).sum())
+        else:
+            n_uniq = int(self.table.n_unique)
         self.header = jellyfish.JfHeader(
             key_len=2 * self.mer_len, counter_len=4,
             canonical=self.canonical,
-            size=_next_pow2(2 * int(self.table.n_unique)))
+            size=_next_pow2(2 * n_uniq))
 
-    def _count_sharded(self, n_dev: int) -> counting.CountTable:
+    def window_counts(self, codes):
+        """(counts, gc, valid) per window of a [rows, L] code batch —
+        answered by shard-routed lookups when this input was counted on a
+        mesh (P6), by a local binary-search gather otherwise."""
+        if self.shards is not None:
+            from ..parallel.analysis import (ShardedLookup,
+                                             window_counts_routed)
+
+            if getattr(self, "_lookup_svc", None) is None:
+                self._lookup_svc = ShardedLookup(self.shards)
+            return window_counts_routed(
+                self._lookup_svc, codes, self.mer_len, self.canonical)
+        import jax.numpy as jnp
+
+        from ..core import coverage
+
+        c, g, v = coverage.window_counts(
+            self.table, jnp.asarray(codes), self.mer_len, self.canonical)
+        return np.asarray(c), np.asarray(g), np.asarray(v)
+
+    def host_table(self):
+        """The (narrow or wide) host-side table, materializing it from the
+        mesh shards on first demand.  Sharded-aware tools (hist/gcp/comp/
+        sect/cold/filter seq) never call this; it backs .jf dumps, the
+        filter kmer export, and mixed LOAD/COUNT comparisons."""
+        if self.table is None and self.shards is not None:
+            self.table = self.shards.finish()
+        return self.table
+
+    def _count_sharded(self, n_dev: int):
         """Count on a device mesh: data-parallel batches, k-mers routed to
         owner shards via all_to_all (SURVEY §2.5 P2).  Capacity overflow or
         routing overflow restarts the file stream with doubled limits —
-        the observable behaviour of jellyfish's cooperative resize."""
+        the observable behaviour of jellyfish's cooperative resize.
+        Returns the live ShardedCounter (tables stay on the mesh)."""
         from ..parallel.sharded import ShardedCounter, make_mesh
 
         mesh = make_mesh(n_dev)
@@ -209,7 +247,8 @@ class Input:
             try:
                 for batch in self._code_batches():
                     sc.add_codes(batch)
-                return sc.finish()
+                sc.check()
+                return sc
             except RuntimeError as e:
                 if "dropped in routing" in str(e):
                     slack *= 2
@@ -271,12 +310,13 @@ class Input:
             with stage(f"Dumping hash to {out_path}", quiet=quiet):
                 if os.path.lexists(out_path):
                     os.remove(out_path)
+                table = self.host_table()
                 if self.mer_len > kmers.MAX_K:
                     from ..core import wide
 
-                    keys, counts = wide.table_to_numpy(self.table)
+                    keys, counts = wide.table_to_numpy(table)
                 else:
-                    keys, counts = counting.table_to_numpy(self.table)
+                    keys, counts = counting.table_to_numpy(table)
                 jellyfish.write_jf(out_path, keys, counts, self.mer_len,
                                    self.canonical,
                                    cmdline=list(sys.argv))

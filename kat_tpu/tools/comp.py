@@ -107,25 +107,48 @@ class Comp:
             pass  # device reductions are already global
 
     def _compare(self, dm_size: int) -> None:
-        t1 = self.inputs[0].table
-        t2 = self.inputs[1].table
-        t3 = self.inputs[2].table if self.three_inputs else None
         k = self.mer_len
+        active = self._active_inputs()
 
-        c1, sp1, ssp1, ssp2, main_mx, ends, mixed, middle = comp_engine.pass1(
-            t1, t2, t3, k=k, d1_bins=self.d1_bins, d2_bins=self.d2_bins,
-            dm_size=dm_size, d1_scale=self.d1_scale, d2_scale=self.d2_scale,
-            canon2=self.inputs[1].canonical,
-            canon3=self.inputs[2].canonical if self.three_inputs else True,
-            three=self.three_inputs)
-        c2, sp2, row0 = comp_engine.pass2(
-            t2, t1, k=k, d2_bins=self.d2_bins, dm_size=dm_size,
-            d2_scale=self.d2_scale)
+        if all(i.shards is not None for i in active):
+            # co-partitioned shards: every probe is a local join, results
+            # psum-merged — the tables never leave the mesh
+            from ..parallel.analysis import comp_sharded
+
+            outs1, outs2, outs3 = comp_sharded(
+                self.inputs[0].shards, self.inputs[1].shards,
+                self.inputs[2].shards if self.three_inputs else None,
+                k=k, d1_bins=self.d1_bins, d2_bins=self.d2_bins,
+                dm_size=dm_size, d1_scale=self.d1_scale,
+                d2_scale=self.d2_scale,
+                canon2=self.inputs[1].canonical,
+                canon3=(self.inputs[2].canonical if self.three_inputs
+                        else True))
+            c1, sp1, ssp1, ssp2, main_mx, ends, mixed, middle = outs1
+            c2, sp2, row0 = outs2
+            c3 = outs3
+        else:
+            t1 = self.inputs[0].host_table()
+            t2 = self.inputs[1].host_table()
+            t3 = self.inputs[2].host_table() if self.three_inputs else None
+
+            c1, sp1, ssp1, ssp2, main_mx, ends, mixed, middle = \
+                comp_engine.pass1(
+                    t1, t2, t3, k=k, d1_bins=self.d1_bins,
+                    d2_bins=self.d2_bins, dm_size=dm_size,
+                    d1_scale=self.d1_scale, d2_scale=self.d2_scale,
+                    canon2=self.inputs[1].canonical,
+                    canon3=(self.inputs[2].canonical if self.three_inputs
+                            else True),
+                    three=self.three_inputs)
+            c2, sp2, row0 = comp_engine.pass2(
+                t2, t1, k=k, d2_bins=self.d2_bins, dm_size=dm_size,
+                d2_scale=self.d2_scale)
+            c3 = comp_engine.pass3(t3) if self.three_inputs else {}
 
         counters = {kk: int(v) for kk, v in {**c1, **c2}.items()}
         if self.three_inputs:
-            counters.update(
-                {kk: int(v) for kk, v in comp_engine.pass3(t3).items()})
+            counters.update({kk: int(v) for kk, v in c3.items()})
         else:
             counters["hash3_total"] = 0
             counters["hash3_distinct"] = 0

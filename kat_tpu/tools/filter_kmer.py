@@ -50,14 +50,15 @@ class FilterKmer:
         with stage("Filtering kmers", quiet=self.quiet):
             from ..core import tables
 
-            if tables.is_wide(self.input.table):
+            table = self.input.host_table()
+            if tables.is_wide(table):
                 from ..core import wide
 
-                keys, counts = wide.table_to_numpy(self.input.table)
+                keys, counts = wide.table_to_numpy(table)
                 keys = np.asarray(keys, object)
             else:
-                keys, counts = counting.table_to_numpy(self.input.table)
-            gc = np.asarray(tables.gc_of_keys(self.input.table))
+                keys, counts = counting.table_to_numpy(table)
+            gc = np.asarray(tables.gc_of_keys(table))
             gc = gc[:len(keys)]
             in_gc = (self.low_gc <= gc) & (gc <= self.high_gc)
             in_cvg = ((self.low_count <= counts.astype(np.int64))

@@ -145,9 +145,7 @@ class FilterSeq:
         matches = np.zeros(len(records), np.int64)
         nb_kmers = np.zeros(len(records), np.int64)
         for codes, meta in fastx.encode_batch_indexed(records, k):
-            c, _g, _v = coverage.window_counts(
-                self.input.table, jnp.asarray(codes), k,
-                self.input.canonical)
+            c, _g, _v = self.input.window_counts(codes)
             hit = np.asarray(c) > 0
             for row, (ri, _start, nw) in enumerate(meta):
                 matches[ri] += int(hit[row, :nw].sum())

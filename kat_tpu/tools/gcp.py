@@ -41,8 +41,14 @@ class Gcp:
 
         with stage("Analysing kmers in hash", quiet=self.quiet):
             mer_len = self.input.mer_len
-            grid = stats.gcp_matrix(self.input.table, mer_len, self.cvg_bins,
-                                    self.cvg_scale)
+            if self.input.shards is not None:
+                from ..parallel.analysis import gcp_sharded
+
+                grid = gcp_sharded(self.input.shards, mer_len,
+                                   self.cvg_bins, self.cvg_scale)
+            else:
+                grid = stats.gcp_matrix(self.input.table, mer_len,
+                                        self.cvg_bins, self.cvg_scale)
             # Logical height merLen: the GC == merLen row is accumulated but
             # never printed (reference quirk, see module docstring).
             self.matrix = Matrix(np.asarray(grid, np.uint64), m=mer_len,

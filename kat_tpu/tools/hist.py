@@ -43,10 +43,16 @@ class Histogram:
         self.input.count_or_load(quiet=self.quiet)
 
         with stage("Bining kmers", quiet=self.quiet):
-            hist = stats.hist_from_counts(
-                self.input.table.counts, self.base, self.ceil, self.inc,
-                self.nb_buckets)
-            self.data = np.asarray(hist, np.uint64)
+            if self.input.shards is not None:
+                # per-shard bincount + psum — the table never leaves the
+                # mesh (SURVEY §2.5 P3/P4)
+                self.data = self.input.shards.histogram(
+                    self.base, self.ceil, self.inc, self.nb_buckets)
+            else:
+                hist = stats.hist_from_counts(
+                    self.input.table.counts, self.base, self.ceil,
+                    self.inc, self.nb_buckets)
+                self.data = np.asarray(hist, np.uint64)
 
         if self.input.dump_hash:
             self.input.dump(

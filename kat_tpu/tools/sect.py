@@ -135,26 +135,39 @@ class Sect:
 
         from ..core.kmers import MAX_K
 
+        sharded = self.input.shards is not None
         n_dev = len(jax.devices())
-        use_halo = (n_dev > 1 and k <= MAX_K
-                    and not os.environ.get("KAT_TPU_NO_SHARD")
-                    and (jax.default_backend() != "cpu"
-                         or os.environ.get("KAT_TPU_SHARD") == "1"))
+        use_halo = (sharded or
+                    (n_dev > 1 and k <= MAX_K
+                     and not os.environ.get("KAT_TPU_NO_SHARD")
+                     and (jax.default_backend() != "cpu"
+                          or os.environ.get("KAT_TPU_SHARD") == "1")))
         halo_threshold = int(os.environ.get("KAT_TPU_HALO_MIN", 1 << 20))
         chunk_indices = list(range(len(records)))
-        if use_halo:
-            from ..parallel.longseq import sharded_window_profile
-            from ..parallel.sharded import make_mesh
+        if use_halo and n_dev > 1:
+            if sharded:
+                from ..parallel.longseq import \
+                    sharded_window_profile_routed
+            else:
+                from ..parallel.longseq import sharded_window_profile
+                from ..parallel.sharded import make_mesh
 
-            mesh = make_mesh(n_dev)
+                mesh = make_mesh(n_dev)
             chunk_indices = []
             for ri, rec in enumerate(records):
                 if len(rec.seq) >= max(halo_threshold, k):
                     codes1d = fastx.encode_ascii(
                         np.frombuffer(rec.seq, np.uint8))
-                    c, g = sharded_window_profile(
-                        self.input.table, codes1d, k,
-                        self.input.canonical, mesh)
+                    if sharded:
+                        # spans + ring halo for extraction, all_to_all
+                        # routed lookups — the table stays sharded (P6+P8)
+                        c, g = sharded_window_profile_routed(
+                            self.input.shards, codes1d, k,
+                            self.input.canonical)
+                    else:
+                        c, g = sharded_window_profile(
+                            self.input.table, codes1d, k,
+                            self.input.canonical, mesh)
                     counts[ri] = c.astype(np.uint64)
                     gcs[ri] = g.astype(np.int16)
                 else:
@@ -162,11 +175,7 @@ class Sect:
 
         chunk_records = [records[i] for i in chunk_indices]
         for codes, meta in fastx.encode_batch_indexed(chunk_records, k):
-            c, g, _v = coverage.window_counts(
-                self.input.table, jnp.asarray(codes), k,
-                self.input.canonical)
-            c = np.asarray(c)
-            g = np.asarray(g)
+            c, g, _v = self.input.window_counts(codes)
             for row, (ci, start, nw) in enumerate(meta):
                 ri = chunk_indices[ci]
                 if counts[ri] is None:

@@ -121,6 +121,6 @@ def test_sharded_count_retry_on_overflow(tmp_path, monkeypatch):
 
     monkeypatch.setattr(common_mod, "_next_pow2", tiny_pow2)
     inp.count(quiet=True)
-    keys, counts = counting.table_to_numpy(inp.table)
+    keys, counts = counting.table_to_numpy(inp.host_table())
     want = oracle.count_seqs(seqs, 13)
     assert dict(zip(keys.tolist(), counts.tolist())) == dict(want)

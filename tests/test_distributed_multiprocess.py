@@ -1,0 +1,75 @@
+"""Real multi-process jax.distributed exercise (VERDICT round-1 item 4):
+two local processes with a localhost coordinator count one dataset into a
+single global mesh-sharded counter; the psum-merged histogram must equal
+the single-process result exactly."""
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent("""
+    import json, os, sys
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from jax._src import xla_bridge as xb
+    xb._backend_factories.pop("axon", None)
+    if nproc > 1:
+        jax.distributed.initialize(
+            coordinator_address="127.0.0.1:" + port,
+            num_processes=nproc, process_id=pid)
+    sys.path.insert(0, {root!r})
+    import numpy as np
+    from kat_tpu.parallel.distributed import global_mesh
+    from kat_tpu.parallel.sharded import ShardedCounter
+
+    rng = np.random.default_rng(3)
+    genome = rng.integers(0, 4, 1 << 14, dtype=np.uint8)
+    view = np.lib.stride_tricks.sliding_window_view(genome, 128)
+
+    mesh = global_mesh()
+    sc = ShardedCounter(mesh, 15, shard_capacity=1 << 14, route_slack=8.0)
+    # each process feeds ITS OWN slice of a fixed global batch schedule
+    for i in range(4):
+        r = np.random.default_rng(100 + i)
+        offs = r.integers(0, genome.shape[0] - 128, 64)  # fixed global set
+        mine = offs[pid::nproc]  # this process's slice of it
+        sc.add_codes(np.ascontiguousarray(view[mine]))
+    sc.check()
+    hist = sc.histogram(1, 1001, 1, 1002)
+    if pid == 0:
+        print("RESULT " + json.dumps(hist.tolist()), flush=True)
+""").format(root=ROOT)
+
+
+def _run(nproc: int, port: int) -> list:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("PYTEST_CURRENT_TEST", None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-u", "-c", WORKER, str(pid), str(nproc),
+         str(port)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in range(nproc)]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o}\n{e[-2000:]}"
+    for o, _ in outs:
+        for line in o.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+    raise AssertionError(f"no RESULT line in {outs}")
+
+
+def test_two_process_histogram_matches_single():
+    want = _run(1, 29871)
+    got = _run(2, 29872)
+    assert got == want
+    assert sum(want[1:]) > 0  # counted something real
