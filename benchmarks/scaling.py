@@ -28,10 +28,10 @@ K = 21
 ROWS = 256          # rows per process per batch
 LENGTH = 512
 BATCHES = 8
-PORT = 29811
 
 
-def worker(pid: int, nproc: int, dev_per_proc: int) -> None:
+
+def worker(pid: int, nproc: int, dev_per_proc: int, port: int) -> None:
     import numpy as np
 
     import jax
@@ -42,7 +42,7 @@ def worker(pid: int, nproc: int, dev_per_proc: int) -> None:
     xb._backend_factories.pop("axon", None)
     if nproc > 1:
         jax.distributed.initialize(
-            coordinator_address=f"127.0.0.1:{PORT + nproc}",
+            coordinator_address=f"127.0.0.1:{port}",
             num_processes=nproc, process_id=pid)
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
@@ -84,6 +84,8 @@ def worker(pid: int, nproc: int, dev_per_proc: int) -> None:
 
 
 def launch(nproc: int, dev_per_proc: int) -> dict:
+    # pid-derived port: fixed ports linger in TIME_WAIT between runs
+    port = 21000 + ((os.getpid() * 7 + nproc) % 9000)
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (
@@ -92,7 +94,7 @@ def launch(nproc: int, dev_per_proc: int) -> dict:
     for pid in range(nproc):
         procs.append(subprocess.Popen(
             [sys.executable, "-u", os.path.abspath(__file__), "--worker",
-             str(pid), str(nproc), str(dev_per_proc)],
+             str(pid), str(nproc), str(dev_per_proc), str(port)],
             env=env, stdout=subprocess.PIPE if pid == 0 else
             subprocess.DEVNULL, stderr=subprocess.DEVNULL, text=True))
     out, _ = procs[0].communicate(timeout=600)
@@ -107,7 +109,7 @@ def launch(nproc: int, dev_per_proc: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--worker", nargs=3, type=int, default=None)
+    ap.add_argument("--worker", nargs=4, type=int, default=None)
     ap.add_argument("--procs", nargs="*", type=int, default=[1, 2, 4])
     ap.add_argument("--devices-per-proc", type=int, default=2)
     ap.add_argument("--out", default=None)

@@ -99,7 +99,7 @@ def _segmented_cumsum(v: jax.Array, is_first: jax.Array) -> jax.Array:
     return v
 
 
-def _unique_reduce(hi, lo, w, out_size: int):
+def _unique_reduce(hi, lo, w, out_size: int, use_kernel: bool | None = None):
     """Sort flat (hi, lo, w) and reduce duplicate keys by summing weights.
 
     Returns a CountTable-shaped tuple of size `out_size`.  Sentinel keys sort
@@ -119,7 +119,9 @@ def _unique_reduce(hi, lo, w, out_size: int):
     n = hi.shape[0]
     hi_s, lo_s, w_s = jax.lax.sort((hi, lo, w), num_keys=2)
 
-    if kernels_enabled():
+    if use_kernel is None:
+        use_kernel = kernels_enabled()
+    if use_kernel:
         from ..ops.reduce_kernel import reduce_compact_sorted
 
         return reduce_compact_sorted((hi_s, lo_s), w_s, out_size,

@@ -29,7 +29,7 @@ import numpy as np
 SENTINEL = np.uint32(0xFFFFFFFF)
 
 MAX_K = 31        # packed-u64 (hi, lo) fast path
-MAX_K_WIDE = 63   # 4-word wide path (kmers as 4 x uint32, big-first)
+MAX_K_WIDE = 127  # wide path (kmers as 4/6/8 x uint32, big-first)
 
 # 256-entry ASCII -> 2-bit code table; 4 = invalid (mirrors mer_dna::code
 # returning -1 for non-ACGT, mer_dna.hpp:382).
@@ -154,29 +154,34 @@ def reverse_complement(hi: jax.Array, lo: jax.Array, k: int):
 
 
 # ---------------------------------------------------------------------------
-# Wide keys: k in (31, 63] packed into 4 uint32 words, BIG-first (w[0] holds
-# the most significant bits) so lexicographic multi-key sorts order keys
-# numerically.  This is the analogue of mer_dna's multi-64-bit-word arrays
-# (mer_dna.hpp: k-mer "as array of 64-bit words").  Real keys use the low 2k
-# bits; the sentinel is all-ones in every word.
+# Wide keys: k in (31, 127] packed into 4/6/8 uint32 words, BIG-first (w[0]
+# holds the most significant bits) so lexicographic multi-key sorts order
+# keys numerically.  This is the analogue of mer_dna's multi-64-bit-word
+# arrays (mer_dna.hpp: k-mer "as array of 64-bit words"), with the word
+# count chosen per k (even counts so .jf 64-bit key packing stays aligned).
+# Real keys use the low 2k bits; the sentinel is all-ones in every word.
 # ---------------------------------------------------------------------------
 
-N_WORDS_WIDE = 4
+N_WORDS_WIDE = 4  # word count for the (31, 63] range (compat constant)
 
 
 def words_for_k(k: int) -> int:
-    """2 for the packed-u64 fast path, 4 for wide keys."""
+    """2 for the packed-u64 fast path; 4/6/8 words for wide keys.
+
+    The word count always leaves at least one unused high bit so the
+    all-ones SENTINEL can never collide with a real key (a poly-T k-mer
+    fills exactly 2k bits) — hence k=64 takes 6 words, not 4."""
     if 1 <= k <= MAX_K:
         return 2
     if k <= MAX_K_WIDE:
-        return N_WORDS_WIDE
+        return 2 * (k // 32 + 1)
     raise ValueError(f"k={k} out of supported range [1, {MAX_K_WIDE}]")
 
 
 @functools.partial(jax.jit, static_argnames=("k", "canonical"))
 def extract_kmers_wide(codes: jax.Array, k: int, canonical: bool = True):
-    """extract_kmers for k in (31, 63]: returns (words, valid) where words
-    is a 4-tuple of uint32 arrays, big-first."""
+    """extract_kmers for k in (31, 127]: returns (words, valid) where words
+    is a words_for_k(k)-tuple of uint32 arrays, big-first."""
     if not (MAX_K < k <= MAX_K_WIDE):
         raise ValueError(f"wide path requires {MAX_K} < k <= {MAX_K_WIDE}")
     L = codes.shape[-1]
@@ -185,7 +190,7 @@ def extract_kmers_wide(codes: jax.Array, k: int, canonical: bool = True):
         raise ValueError(f"sequence length {L} shorter than k={k}")
 
     c32 = codes.astype(jnp.uint32)
-    nw = N_WORDS_WIDE
+    nw = words_for_k(k)
     shape = codes.shape[:-1] + (W,)
     fwd = [jnp.zeros(shape, jnp.uint32) for _ in range(nw)]
     rc = [jnp.zeros(shape, jnp.uint32) for _ in range(nw)]

@@ -1,12 +1,13 @@
-"""Wide-key (k in (31, 63]) count tables: 4-word keys, same sort+segmented-
-reduce engine as core/counting.py.
+"""Wide-key (k in (31, 127]) count tables: multi-word keys, same
+sort+segmented-reduce engine as core/counting.py.
 
 The reference's mer_dna holds k-mers in arrays of 64-bit words
 (mer_dna.hpp), supporting arbitrary k; this module extends the TPU engine
-past the packed-u64 fast path with keys as 4 uint32 words (big-first).
-Sort cost grows only mildly with key operands (the variadic comparator
-dominates — see docs/PERFORMANCE.md), so the wide path shares all design
-decisions with the narrow one.
+past the packed-u64 fast path with keys as words_for_k(k) uint32 words
+(big-first): 4 for k <= 63, 6 for k <= 95, 8 for k <= 127.  Sort cost
+grows only mildly with key operands (the variadic comparator dominates —
+see docs/PERFORMANCE.md), so the wide path shares all design decisions
+with the narrow one.
 """
 
 from __future__ import annotations
@@ -19,41 +20,42 @@ import jax.numpy as jnp
 import numpy as np
 
 from .counting import _segmented_cumsum
-from .kmers import N_WORDS_WIDE, SENTINEL, extract_kmers_wide
+from .kmers import (N_WORDS_WIDE, SENTINEL, extract_kmers_wide,
+                    words_for_k)
 
 
 class WideTable(NamedTuple):
-    """Sorted unique-key table with 4-word keys (big-first w0..w3)."""
-    w0: jax.Array
-    w1: jax.Array
-    w2: jax.Array
-    w3: jax.Array
+    """Sorted unique-key table with multi-word keys (big-first tuple)."""
+    words: tuple
     counts: jax.Array
     n_unique: jax.Array
 
     @property
     def capacity(self) -> int:
-        return self.w0.shape[0]
+        return self.words[0].shape[0]
 
     @property
-    def words(self):
-        return (self.w0, self.w1, self.w2, self.w3)
+    def n_words(self) -> int:
+        return len(self.words)
 
 
-def empty_table(capacity: int) -> WideTable:
+def empty_table(capacity: int, n_words: int = 4) -> WideTable:
     s = jnp.full((capacity,), SENTINEL, jnp.uint32)
-    return WideTable(s, s, s, s, jnp.zeros((capacity,), jnp.uint32),
+    return WideTable((s,) * n_words, jnp.zeros((capacity,), jnp.uint32),
                      jnp.zeros((), jnp.int32))
 
 
-def _unique_reduce_wide(words, w, out_size: int):
-    """4-word-key variant of counting._unique_reduce (same derivation)."""
+def _unique_reduce_wide(words, w, out_size: int,
+                        use_kernel: bool | None = None):
+    """Multi-word-key variant of counting._unique_reduce (same derivation)."""
     n = words[0].shape[0]
-    *ws_sorted, w_s = jax.lax.sort((*words, w), num_keys=N_WORDS_WIDE)
+    *ws_sorted, w_s = jax.lax.sort((*words, w), num_keys=len(words))
 
     from .counting import _kernel_interpret, kernels_enabled
 
-    if kernels_enabled():
+    if use_kernel is None:
+        use_kernel = kernels_enabled()
+    if use_kernel:
         from ..ops.reduce_kernel import reduce_compact_sorted
 
         return reduce_compact_sorted(tuple(ws_sorted), w_s, out_size,
@@ -74,7 +76,7 @@ def _unique_reduce_wide(words, w, out_size: int):
     ckey = [jnp.where(keep, wd, SENTINEL) for wd in ws_sorted]
     cw = jnp.where(keep, run_total, 0).astype(jnp.uint32)
 
-    *ckey, cw = jax.lax.sort((*ckey, cw), num_keys=N_WORDS_WIDE)
+    *ckey, cw = jax.lax.sort((*ckey, cw), num_keys=len(ckey))
     n_unique = jnp.sum(keep.astype(jnp.int32))
 
     if out_size < n:
@@ -133,7 +135,8 @@ class WideCodeStreamingCounter:
         self.max_capacity = int(max_capacity)
         self.disable_grow = disable_grow
         self.flush_batches = int(flush_batches)
-        self.table = empty_table(self.capacity)
+        self.n_words = words_for_k(k)
+        self.table = empty_table(self.capacity, self.n_words)
         self._codes: list = []
         self._shape: tuple | None = None
         self._flush_fns: dict = {}
@@ -203,7 +206,7 @@ class WideCodeStreamingCounter:
             *ws, cw, n_unique = fn(self.table, stack)
             n = int(n_unique)
             if n <= self.capacity:
-                self.table = WideTable(*ws, cw, n_unique)
+                self.table = WideTable(tuple(ws), cw, n_unique)
                 return
             if self.disable_grow or self.capacity * 2 > self.max_capacity:
                 from .counting import TableFullError
@@ -222,14 +225,14 @@ def _grow_table(t: WideTable, capacity: int) -> WideTable:
     pad = capacity - t.capacity
     s = jnp.full((pad,), SENTINEL, jnp.uint32)
     return WideTable(
-        *(jnp.concatenate([w, s]) for w in t.words),
+        tuple(jnp.concatenate([w, s]) for w in t.words),
         jnp.concatenate([t.counts, jnp.zeros((pad,), jnp.uint32)]),
         t.n_unique)
 
 
 def table_words_to_numpy(t: WideTable):
-    """(words [n, 4] uint32 big-first, counts [n] uint32) — vectorized host
-    export of the real entries (no per-key python loop)."""
+    """(words [n, n_words] uint32 big-first, counts [n] uint32) — vectorized
+    host export of the real entries (no per-key python loop)."""
     n = int(t.n_unique)
     words = np.stack([np.asarray(w[:n], np.uint32) for w in t.words], axis=1)
     counts = np.asarray(t.counts[:n], np.uint32)
@@ -239,40 +242,54 @@ def table_words_to_numpy(t: WideTable):
 def table_to_numpy(t: WideTable):
     """(python-int keys list, counts) — keys exceed uint64 so stay ints.
 
-    Vectorized to two uint64 halves; only the final u128 assembly is a
+    Vectorized to uint64 word-pairs; only the final big-int assembly is a
     (cheap) python comprehension over pre-combined halves."""
     words, counts = table_words_to_numpy(t)
     w64 = words.astype(np.uint64)
-    high = (w64[:, 0] << np.uint64(32)) | w64[:, 1]
-    low = (w64[:, 2] << np.uint64(32)) | w64[:, 3]
-    keys = [(int(h) << 64) | int(lo) for h, lo in zip(high, low)]
+    halves = [(w64[:, i] << np.uint64(32)) | w64[:, i + 1]
+              for i in range(0, words.shape[1], 2)]
+    keys = [_join_halves([int(h[i]) for h in halves])
+            for i in range(len(counts))]
     return keys, counts
 
 
+def _join_halves(hs) -> int:
+    v = 0
+    for h in hs:
+        v = (v << 64) | h
+    return v
+
+
 def table_from_words(words: np.ndarray, counts: np.ndarray,
-                     capacity: int | None = None) -> WideTable:
-    """Build a wide table from host ([n, 4] uint32 big-first words, counts);
-    keys need not be sorted or unique (duplicates are summed)."""
-    words = np.asarray(words, np.uint32).reshape(-1, N_WORDS_WIDE)
+                     capacity: int | None = None,
+                     n_words: int | None = None) -> WideTable:
+    """Build a wide table from host ([n, n_words] uint32 big-first words,
+    counts); keys need not be sorted or unique (duplicates are summed)."""
+    words = np.asarray(words, np.uint32)
+    if words.ndim != 2:
+        words = words.reshape(-1, n_words or N_WORDS_WIDE)
+    nw = words.shape[1]
     counts = np.asarray(counts, np.uint32)
     cap = capacity or max(1, words.shape[0])
-    wt = tuple(jnp.asarray(words[:, i]) for i in range(N_WORDS_WIDE))
-    return WideTable(*_unique_reduce_wide(wt, jnp.asarray(counts), cap))
+    wt = tuple(jnp.asarray(words[:, i]) for i in range(nw))
+    out = _unique_reduce_wide(wt, jnp.asarray(counts), cap)
+    return WideTable(tuple(out[:nw]), out[nw], out[nw + 1])
 
 
-def ints_to_words(keys) -> np.ndarray:
-    """Python-int keys -> [n, 4] uint32 big-first words."""
+def ints_to_words(keys, n_words: int = N_WORDS_WIDE) -> np.ndarray:
+    """Python-int keys -> [n, n_words] uint32 big-first words."""
     keys = list(keys)
-    ws = np.zeros((len(keys), N_WORDS_WIDE), np.uint32)
+    ws = np.zeros((len(keys), n_words), np.uint32)
     for i, kk in enumerate(keys):
-        for wi in range(N_WORDS_WIDE):
-            ws[i, wi] = (kk >> (32 * (N_WORDS_WIDE - 1 - wi))) & 0xFFFFFFFF
+        for wi in range(n_words):
+            ws[i, wi] = (kk >> (32 * (n_words - 1 - wi))) & 0xFFFFFFFF
     return ws
 
 
-def table_from_ints(keys, counts, capacity: int | None = None) -> WideTable:
+def table_from_ints(keys, counts, capacity: int | None = None,
+                    n_words: int = N_WORDS_WIDE) -> WideTable:
     """Build a wide table from python-int keys (host-side)."""
-    words = ints_to_words(keys)
+    words = ints_to_words(keys, n_words)
     counts = np.asarray(counts, np.uint32)
     cap = capacity or max(1, words.shape[0])
     return table_from_words(words, counts, cap)

@@ -7,7 +7,7 @@ large tables: one .npz per shard plus a JSON manifest carrying k, the
 canonical flag, the shard count and the shard-hash identifier, so a resumed
 run can place shards directly on the same mesh layout without re-routing.
 
-Both narrow (k <= 31, u64 keys) and wide (k > 31, [n, 4] uint32 word rows)
+Both narrow (k <= 31, u64 keys) and wide (k > 31, [n, n_words] uint32 word rows)
 tables are supported; the manifest's "key_words" field records which.
 """
 

@@ -88,12 +88,12 @@ def read_jf(path: str) -> tuple[JfHeader, np.ndarray | list, np.ndarray]:
     """Load a .jf file -> (header, keys, u32 counts).
 
     keys is a np.uint64 array for key_len <= 64 (k <= 32) and a list of
-    python ints for wider keys (up to key_len 128, k <= 64 — the wide
+    python ints for wider keys (up to key_len 256, k <= 127 — the wide
     engine path).
     """
     hdr, off = read_header(path)
-    if hdr.key_len > 128:
-        raise ValueError(f"key_len {hdr.key_len} > 128 unsupported")
+    if hdr.key_len > 256:
+        raise ValueError(f"key_len {hdr.key_len} > 256 unsupported")
     data = np.fromfile(path, np.uint8, offset=off)
     rec = hdr.record_len
     n = data.size // rec
@@ -114,13 +114,20 @@ def read_jf(path: str) -> tuple[JfHeader, np.ndarray | list, np.ndarray]:
             keys |= mat[:, b].astype(np.uint64) << np.uint64(8 * b)
         return hdr, keys, counts
 
-    lo = np.zeros(n, np.uint64)
-    for b in range(min(8, hdr.key_bytes)):
-        lo |= mat[:, b].astype(np.uint64) << np.uint64(8 * b)
-    hi = np.zeros(n, np.uint64)
-    for b in range(8, hdr.key_bytes):
-        hi |= mat[:, b].astype(np.uint64) << np.uint64(8 * (b - 8))
-    keys = [(int(h) << 64) | int(l) for h, l in zip(hi, lo)]
+    # little-endian key bytes -> python big ints, 8-byte words at a time
+    n_words64 = (hdr.key_bytes + 7) // 8
+    words = []
+    for wi in range(n_words64):
+        w = np.zeros(n, np.uint64)
+        for b in range(8 * wi, min(8 * (wi + 1), hdr.key_bytes)):
+            w |= mat[:, b].astype(np.uint64) << np.uint64(8 * (b - 8 * wi))
+        words.append(w)
+    keys = []
+    for i in range(n):
+        v = 0
+        for wi in reversed(range(n_words64)):
+            v = (v << 64) | int(words[wi][i])
+        keys.append(v)
     return hdr, keys, counts
 
 
@@ -146,7 +153,7 @@ def write_jf(path: str, keys, counts: np.ndarray, mer_len: int,
     """Write (keys, counts) as a jellyfish-compatible binary/sorted hash.
 
     keys: np.uint64 array (k <= 32) or a sequence of python ints (wide
-    keys, k <= 64)."""
+    keys, k <= 127)."""
     wide_keys = not isinstance(keys, np.ndarray) or keys.dtype == object
     if wide_keys:
         pairs = sorted(zip([int(x) for x in keys],
@@ -244,7 +251,7 @@ def _header_blob(mer_len: int, canonical: bool, counter_len: int, n: int,
 def _write_jf_wide(path: str, pairs: list[tuple[int, int]], mer_len: int,
                    canonical: bool, counter_len: int,
                    cmdline: list[str] | None) -> None:
-    """Write wide (k <= 64) keys: byte-serialised little-endian like the
+    """Write wide (k <= 127) keys: byte-serialised little-endian like the
     binary_dumper, keys as python ints."""
     key_len = 2 * mer_len
     key_bytes = key_len // 8 + (1 if key_len % 8 else 0)

@@ -152,26 +152,28 @@ def _reduce_kernel(*refs, n_key_words: int, rt: int, nr: int, n_tiles: int):
 
     pid = pl.program_id(0)
     n_planes = n_key_words + 1
+    nw = n_key_words
     sr = rt + 2  # staging rows: rt tile rows + partial + slack
+    # SMEM layout: [0..nw-1] carry key words, [nw] carry run sum,
+    # [nw+1] staging offset (0..127), [nw+2] output row cursor,
+    # [nw+3] total emitted.
 
     @pl.when(pid == 0)
     def _init():
         for j in range(n_key_words):
-            smem[0, j] = SENTINEL      # carry key words
-        smem[0, 4] = jnp.uint32(0)     # carry run sum
-        smem[0, 5] = jnp.uint32(0)     # staging offset (0..127)
-        smem[0, 6] = jnp.uint32(0)     # global output row cursor
-        smem[0, 7] = jnp.uint32(0)     # total emitted
+            smem[0, j] = SENTINEL
+        for j in range(4):
+            smem[0, nw + j] = jnp.uint32(0)
         stage[...] = jnp.zeros((n_planes, sr, LANES), jnp.uint32)
 
     kw = [r[...] for r in in_refs[:n_key_words]]
     w = in_refs[n_key_words][...]
 
     carry_kw = [smem[0, j] for j in range(n_key_words)]
-    carry_sum = smem[0, 4]
-    off = smem[0, 5].astype(jnp.int32)
-    grow = smem[0, 6].astype(jnp.int32)
-    emitted = smem[0, 7]
+    carry_sum = smem[0, nw]
+    off = smem[0, nw + 1].astype(jnp.int32)
+    grow = smem[0, nw + 2].astype(jnp.int32)
+    emitted = smem[0, nw + 3]
 
     prev_kw = [_prev1_with_carry(x, c) for x, c in zip(kw, carry_kw)]
 
@@ -242,19 +244,19 @@ def _reduce_kernel(*refs, n_key_words: int, rt: int, nr: int, n_tiles: int):
     # ---- update carry state ----
     for j in range(n_key_words):
         smem[0, j] = kw[j][rt - 1, LANES - 1]
-    smem[0, 4] = s[rt - 1, LANES - 1]
-    smem[0, 5] = (new_t % LANES).astype(jnp.uint32)
-    smem[0, 6] = (grow + full_rows).astype(jnp.uint32)
-    smem[0, 7] = emitted + n_emit
+    smem[0, nw] = s[rt - 1, LANES - 1]
+    smem[0, nw + 1] = (new_t % LANES).astype(jnp.uint32)
+    smem[0, nw + 2] = (grow + full_rows).astype(jnp.uint32)
+    smem[0, nw + 3] = emitted + n_emit
 
     @pl.when(pid == n_tiles - 1)
     def _finish():
         state_out[0, 0] = emitted + n_emit
         for j in range(n_key_words):
             state_out[0, 1 + j] = kw[j][rt - 1, LANES - 1]
-        state_out[0, 5] = s[rt - 1, LANES - 1]
-        state_out[0, 6] = (grow + full_rows).astype(jnp.uint32)
-        state_out[0, 7] = (new_t % LANES).astype(jnp.uint32)
+        state_out[0, 1 + nw] = s[rt - 1, LANES - 1]
+        state_out[0, 2 + nw] = (grow + full_rows).astype(jnp.uint32)
+        state_out[0, 3 + nw] = (new_t % LANES).astype(jnp.uint32)
 
 
 def _pad_to(x: jax.Array, n: int, fill) -> jax.Array:
@@ -317,11 +319,11 @@ def reduce_compact_sorted(key_words, w, out_size: int,
             out_shape=(
                 jax.ShapeDtypeStruct((n_key_words + 1, nr, LANES),
                                      jnp.uint32),
-                jax.ShapeDtypeStruct((1, 8), jnp.uint32),
+                jax.ShapeDtypeStruct((1, n_key_words + 4), jnp.uint32),
             ),
             scratch_shapes=[
                 pltpu.VMEM((n_key_words + 1, rt + 2, LANES), jnp.uint32),
-                pltpu.SMEM((1, 8), jnp.uint32),
+                pltpu.SMEM((1, n_key_words + 4), jnp.uint32),
                 pltpu.SemaphoreType.DMA(()),
             ],
             interpret=interpret,
@@ -329,7 +331,7 @@ def reduce_compact_sorted(key_words, w, out_size: int,
 
     emitted = state[0, 0].astype(jnp.int32)
     carry_kw = [state[0, 1 + j] for j in range(n_key_words)]
-    carry_sum = state[0, 5]
+    carry_sum = state[0, 1 + n_key_words]
     carry_real = jnp.zeros((), jnp.bool_)
     for c in carry_kw:
         carry_real = carry_real | (c != SENTINEL)

@@ -44,7 +44,7 @@ def _local_table(n_words: int, args):
     nu = args[n_words + 1][0]
     if n_words == 2:
         return CountTable(words[0], words[1], counts, nu)
-    return WideTable(*words, counts, nu)
+    return WideTable(tuple(words), counts, nu)
 
 
 def _specs_for(c: ShardedCounter):

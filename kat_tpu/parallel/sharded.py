@@ -21,13 +21,14 @@ is reported to the host, which re-launches at 2x — the observable behaviour
 of hash_counter.hpp:204-244's size doubling.
 
 Works on any mesh shape (multi-axis meshes route over the flattened device
-space) and for both narrow (k <= 31, 2-word) and wide (k <= 63, 4-word)
-keys.
+space) and for both narrow (k <= 31, 2-word) and wide (k <= 127,
+4/6/8-word) keys.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence
 
 import jax
@@ -141,7 +142,8 @@ def _route_local(words, w, n_dest: int, cap: int, k: int):
 
 def _count_step_local(codes, *table_arrays, k: int, canonical: bool,
                       n_dest: int, route_cap: int, table_cap: int,
-                      axis_names: tuple[str, ...], n_words: int):
+                      axis_names: tuple[str, ...], n_words: int,
+                      use_kernel: bool):
     """Per-device body: extract -> route (all_to_all) -> absorb."""
     twords = table_arrays[:n_words]
     tc = table_arrays[n_words]
@@ -159,9 +161,11 @@ def _count_step_local(codes, *table_arrays, k: int, canonical: bool,
                 for tw, rwd in zip(twords, rwords))
     cw = jnp.concatenate([tc.reshape(-1), rw.reshape(-1)])
     if n_words == 2:
-        out = _unique_reduce(cat[0], cat[1], cw, table_cap)
+        out = _unique_reduce(cat[0], cat[1], cw, table_cap,
+                             use_kernel=use_kernel)
     else:
-        out = _unique_reduce_wide(cat, cw, table_cap)
+        out = _unique_reduce_wide(cat, cw, table_cap,
+                                  use_kernel=use_kernel)
     *nwords, nc, n_unique = out
 
     dropped = jax.lax.psum(dropped, axis_names)
@@ -174,7 +178,7 @@ class ShardedCounter:
     Local shard tables are [1, capacity] slices of [n_devices, capacity]
     global word/count arrays.  `add_codes` absorbs one [rows, L] uint8 code
     batch (rows padded to a multiple of n_devices).  `finish` returns a
-    host-merged CountTable (k <= 31) or WideTable (k <= 63); `histogram`
+    host-merged CountTable (k <= 31) or WideTable (k <= 127); `histogram`
     reduces on device and `psum`s.
     """
 
@@ -227,11 +231,17 @@ class ShardedCounter:
             spec = self._tspec
             nspec = P(spec[0])
             nw = self.n_words
+            # Pallas kernel only when the mesh actually sits on TPU
+            # devices (the default backend can be TPU while a virtual CPU
+            # mesh is in use, e.g. dryruns)
+            mesh_platform = self.mesh.devices.flat[0].platform
             body = functools.partial(
                 _count_step_local, k=self.k, canonical=self.canonical,
                 n_dest=self.n, route_cap=route_cap,
                 table_cap=self.shard_capacity, axis_names=self.axis_names,
-                n_words=nw)
+                n_words=nw,
+                use_kernel=mesh_platform in ("tpu", "axon")
+                and not os.environ.get("KAT_TPU_NO_KERNEL"))
             fn = shard_map(
                 body, mesh=self.mesh,
                 in_specs=(spec,) + (spec,) * (nw + 1),

@@ -285,8 +285,9 @@ class Input:
             if hdr.mer_len > kmers.MAX_K:
                 from ..core import wide
 
-                self.table = wide.table_from_ints(keys, counts,
-                                                  capacity=cap)
+                self.table = wide.table_from_ints(
+                    keys, counts, capacity=cap,
+                    n_words=kmers.words_for_k(hdr.mer_len))
             else:
                 self.table = counting.table_from_numpy(
                     keys, counts, capacity=cap)

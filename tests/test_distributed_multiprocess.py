@@ -69,7 +69,10 @@ def _run(nproc: int, port: int) -> list:
 
 
 def test_two_process_histogram_matches_single():
-    want = _run(1, 29871)
-    got = _run(2, 29872)
+    # ports derived from the test pid: a fixed port lingers in TIME_WAIT
+    # between back-to-back runs and the coordinator fails to bind
+    base = 20000 + (os.getpid() * 2) % 20000
+    want = _run(1, base)
+    got = _run(2, base + 1)
     assert got == want
     assert sum(want[1:]) > 0  # counted something real
