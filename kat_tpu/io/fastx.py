@@ -27,19 +27,50 @@ from ..core.kmers import encode_ascii
 INVALID = np.uint8(4)  # already-encoded padding code
 
 
+def is_generator_path(path: str) -> bool:
+    """True for `gen:<shell command>` pseudo-paths: each open re-runs the
+    command and streams its stdout — the re-openable generator pipes of
+    jellyfish's stream_manager (stream_manager.hpp:74+)."""
+    return path.startswith("gen:")
+
+
+def is_stream_path(path: str) -> bool:
+    """Paths that cannot be opened twice: generator commands, stdin, and
+    named pipes (FIFOs)."""
+    if is_generator_path(path) or path in ("-", "/dev/stdin"):
+        return True
+    try:
+        import stat as _stat
+
+        return _stat.S_ISFIFO(os.stat(path).st_mode)
+    except OSError:
+        return False
+
+
+def _open_raw(path: str):
+    if is_generator_path(path):
+        import subprocess
+
+        proc = subprocess.Popen(["/bin/sh", "-c", path[4:]],
+                                stdout=subprocess.PIPE)
+        return proc.stdout
+    if path == "-":
+        import sys
+
+        return sys.stdin.buffer.raw  # type: ignore[union-attr]
+    return open(path, "rb")
+
+
 def _open_text(path: str) -> io.BufferedReader:
-    f = open(path, "rb")
-    magic = f.read(2)
-    f.seek(0)
+    f = io.BufferedReader(_open_raw(path))
+    magic = f.peek(2)[:2]  # peek, not seek: pipes cannot rewind
     if magic == b"\x1f\x8b":
         return io.BufferedReader(gzip.GzipFile(fileobj=f))  # type: ignore
-    return io.BufferedReader(f)
+    return f
 
 
-def sniff_format(path: str) -> str:
-    """'fasta' | 'fastq', mirroring InputHandler::determineSequenceFileType
-    (input_handler.cc:318-358): extension first, then first character."""
-    base = path
+def _ext_format(path: str) -> str | None:
+    base = path[4:] if is_generator_path(path) else path
     if base.lower().endswith(".gz"):
         base = base[:-3]
     ext = os.path.splitext(base)[1].lower()
@@ -47,8 +78,14 @@ def sniff_format(path: str) -> str:
         return "fastq"
     if ext in (".fasta", ".fa", ".fna", ".fas", ".scafseq"):
         return "fasta"
-    with _open_text(path) as f:
-        ch = f.read(1)
+    return None
+
+
+def _sniff_stream(path: str, f: io.BufferedReader) -> str:
+    fmt = _ext_format(path)
+    if fmt:
+        return fmt
+    ch = f.peek(1)[:1]
     if ch == b">":
         return "fasta"
     if ch == b"@":
@@ -56,13 +93,26 @@ def sniff_format(path: str) -> str:
     raise ValueError(f"Unknown file type: {path}")
 
 
+def sniff_format(path: str) -> str:
+    """'fasta' | 'fastq', mirroring InputHandler::determineSequenceFileType
+    (input_handler.cc:318-358): extension first, then first character."""
+    fmt = _ext_format(path)
+    if fmt:
+        return fmt
+    with _open_text(path) as f:
+        return _sniff_stream(path, f)
+
+
 def is_sequence_file(path: str) -> bool:
     """True if FASTA/FASTQ(.gz); False for jellyfish hashes etc.
 
     Mirrors JellyfishHelper::isSequenceFile: a file is a sequence file unless
     it looks like a binary hash (starts with the 9-digit header-length used by
-    jellyfish's file_header).
+    jellyfish's file_header).  Stream paths (generator pipes, FIFOs, stdin)
+    cannot be sniffed non-destructively and are always sequence inputs.
     """
+    if is_stream_path(path):
+        return True
     try:
         with _open_text(path) as f:
             head = f.read(9)
@@ -82,9 +132,11 @@ class Record:
 
 
 def read_records(path: str) -> Iterator[Record]:
-    """Stream records from a FASTA or FASTQ (optionally gzipped) file."""
-    fmt = sniff_format(path)
+    """Stream records from a FASTA or FASTQ (optionally gzipped) file,
+    FIFO, stdin ("-") or `gen:<command>` generator pipe.  Single open:
+    the format sniff peeks the same stream it then reads."""
     with _open_text(path) as f:
+        fmt = _sniff_stream(path, f)
         if fmt == "fastq":
             while True:
                 h = f.readline()

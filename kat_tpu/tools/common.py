@@ -111,7 +111,7 @@ class Input:
                 "Inconsistent number of inputs and trimming settings.")
         mode = None
         for p in self.paths:
-            if not os.path.exists(p):
+            if not fastx.is_stream_path(p) and not os.path.exists(p):
                 raise FileNotFoundError(
                     f"Could not find input file at: {p}; please check the "
                     "path and try again.")
@@ -267,10 +267,14 @@ class Input:
         from ..io import native
         from ..io.prefetch import prefetch
 
-        if native.available() and not os.environ.get("KAT_TPU_NO_NATIVE"):
+        any_stream = any(fastx.is_stream_path(p) for p in self.paths)
+        if (native.available() and not any_stream
+                and not os.environ.get("KAT_TPU_NO_NATIVE")):
             it = native.stream_code_batches(
                 self.paths, self.mer_len, self.trim5 or None)
         else:
+            # generator pipes / FIFOs / stdin go through the python
+            # streaming reader (single-open, peek-based sniffing)
             recs = fastx.read_records_multi(self.paths, self.trim5 or None)
             it = fastx.encode_batches(recs, self.mer_len)
         yield from prefetch(it)

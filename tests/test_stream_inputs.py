@@ -1,0 +1,107 @@
+"""Pipe/generator input streams (reference stream_manager.hpp:74+ —
+round-1 missing item 6): `gen:<command>` re-openable generator pipes,
+FIFOs and single-open sniffing."""
+
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from kat_tpu.io import fastx
+
+
+FASTA = b">a\nACGTACGTAC\n>b\nGGGCCCTTT\n"
+FASTQ = b"@r1\nACGTACGT\n+\nIIIIIIII\n"
+
+
+def test_generator_path_reads_command_output(tmp_path):
+    fa = tmp_path / "x.fa"
+    fa.write_bytes(FASTA)
+    recs = list(fastx.read_records(f"gen:cat {fa}"))
+    assert [r.name for r in recs] == ["a", "b"]
+    assert recs[0].seq == b"ACGTACGTAC"
+
+
+def test_generator_path_reopenable(tmp_path):
+    """The defining property of generator pipes: every open re-runs the
+    command (stream_manager's repeatedly-openable paths)."""
+    fa = tmp_path / "x.fa"
+    fa.write_bytes(FASTA)
+    path = f"gen:cat {fa}"
+    first = list(fastx.read_records(path))
+    second = list(fastx.read_records(path))
+    assert [r.seq for r in first] == [r.seq for r in second]
+
+
+def test_generator_path_gzip(tmp_path):
+    import gzip
+
+    gz = tmp_path / "x.fq.gz"
+    gz.write_bytes(gzip.compress(FASTQ))
+    recs = list(fastx.read_records(f"gen:cat {gz}"))
+    assert recs[0].name == "r1"
+    assert recs[0].seq == b"ACGTACGT"
+
+
+def test_fifo_single_open(tmp_path):
+    fifo = str(tmp_path / "pipe.fa")
+    os.mkfifo(fifo)
+
+    def writer():
+        with open(fifo, "wb") as f:
+            f.write(FASTA)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        assert fastx.is_stream_path(fifo)
+        assert fastx.is_sequence_file(fifo)
+        recs = list(fastx.read_records(fifo))
+        assert [r.name for r in recs] == ["a", "b"]
+    finally:
+        t.join(timeout=10)
+
+
+def test_sniff_without_extension_uses_peek(tmp_path):
+    p = tmp_path / "noext"
+    p.write_bytes(FASTQ)
+    assert fastx.sniff_format(str(p)) == "fastq"
+    recs = list(fastx.read_records(str(p)))
+    assert recs[0].qual == b"IIIIIIII"
+
+
+def test_hist_tool_over_generator_pipe(tmp_path):
+    """End-to-end: kat hist counting from a generator pipe (python
+    reader engaged automatically, native reader skipped)."""
+    from kat_tpu.tools.hist import Histogram
+
+    fa = tmp_path / "in.fa"
+    rng = np.random.default_rng(4)
+    with open(fa, "w") as f:
+        for i in range(30):
+            s = "".join("ACGT"[c] for c in rng.integers(0, 4, 60))
+            f.write(f">s{i}\n{s}\n")
+
+    h = Histogram([f"gen:cat {fa}"], low=1, high=100)
+    h.quiet = True
+    h.input.mer_len = 13
+    h.input.hash_size = 4096
+    h.output_prefix = str(tmp_path / "hist_gen")
+    h.execute()
+    h.save()
+
+    h2 = Histogram([str(fa)], low=1, high=100)
+    h2.quiet = True
+    h2.input.mer_len = 13
+    h2.input.hash_size = 4096
+    h2.output_prefix = str(tmp_path / "hist_file")
+    h2.execute()
+    h2.save()
+
+    gen_out = open(tmp_path / "hist_gen").read()
+    file_out = open(tmp_path / "hist_file").read()
+    # identical except the Input line naming the source
+    strip = lambda s: "\n".join(l for l in s.splitlines()
+                                if not l.startswith("# Input"))
+    assert strip(gen_out) == strip(file_out)
