@@ -261,22 +261,47 @@ class CodeStreamingCounter:
             k = self.k
             canonical = self.canonical
 
-            # _unique_reduce routes through the Pallas reduce kernel on
-            # TPU backends (one bandwidth pass replacing the segmented
-            # scan + compaction sort).  NOTE: a bitonic-merge variant that
-            # skips re-sorting the resident table was tried and reverted —
-            # XLA materializes every merge stage (36GB assignment at 2^26)
-            # instead of aliasing them; see ops/merge.py.  A memory-bounded
-            # Pallas merge kernel is the planned replacement.
-            @jax.jit
-            def fused(thi, tlo, tc, codes):
-                hi, lo, valid = extract_kmers(
-                    codes.reshape(-1, length), k, canonical)
-                chi = jnp.concatenate([thi, hi.reshape(-1)])
-                clo = jnp.concatenate([tlo, lo.reshape(-1)])
-                cw = jnp.concatenate(
-                    [tc, valid.reshape(-1).astype(jnp.uint32)])
-                return _unique_reduce(chi, clo, cw, cap)
+            if kernels_enabled():
+                # Kernel flush: the resident table is always sorted, so
+                # only the fresh windows go through lax.sort (keys only —
+                # fresh weights are implicitly 1, sentinels 0).  The table
+                # joins via the memory-bounded Pallas bitonic merge
+                # (ops/merge_kernel.py; the XLA formulation OOMs because
+                # buffer assignment materializes every stage), and the
+                # streaming reduce kernel compacts in one pass.
+                from ..ops.merge_kernel import merge_sorted_kernel
+                from ..ops.reduce_kernel import reduce_compact_sorted
+
+                interp = _kernel_interpret()
+
+                @jax.jit
+                def fused(thi, tlo, tc, codes):
+                    hi, lo, _valid = extract_kmers(
+                        codes.reshape(-1, length), k, canonical)
+                    fhi, flo = jax.lax.sort(
+                        (hi.reshape(-1), lo.reshape(-1)), num_keys=2)
+                    fw = (~((fhi == SENTINEL)
+                            & (flo == SENTINEL))).astype(jnp.uint32)
+                    (mhi, mlo), (mw,) = merge_sorted_kernel(
+                        (thi, tlo), (tc,), (fhi, flo), (fw,),
+                        interpret=interp)
+                    # beyond table+windows the merged stream is all
+                    # sentinel padding — don't feed it to the kernel
+                    n_real = thi.shape[0] + fhi.shape[0]
+                    return reduce_compact_sorted(
+                        (mhi[:n_real], mlo[:n_real]), mw[:n_real], cap,
+                        interpret=interp)
+            else:
+
+                @jax.jit
+                def fused(thi, tlo, tc, codes):
+                    hi, lo, valid = extract_kmers(
+                        codes.reshape(-1, length), k, canonical)
+                    chi = jnp.concatenate([thi, hi.reshape(-1)])
+                    clo = jnp.concatenate([tlo, lo.reshape(-1)])
+                    cw = jnp.concatenate(
+                        [tc, valid.reshape(-1).astype(jnp.uint32)])
+                    return _unique_reduce(chi, clo, cw, cap)
 
             self._flush_fns[key] = fused
         return self._flush_fns[key]

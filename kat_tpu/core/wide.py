@@ -171,17 +171,47 @@ class WideCodeStreamingCounter:
             k = self.k
             canonical = self.canonical
 
-            # _unique_reduce_wide routes through the Pallas reduce kernel
-            # on TPU backends (see counting.CodeStreamingCounter._flush_fn).
-            @jax.jit
-            def fused(t: WideTable, codes):
-                words, valid = extract_kmers_wide(
-                    codes.reshape(-1, length), k, canonical)
-                cat = [jnp.concatenate([tw, wd.reshape(-1)])
-                       for tw, wd in zip(t.words, words)]
-                cw = jnp.concatenate(
-                    [t.counts, valid.reshape(-1).astype(jnp.uint32)])
-                return _unique_reduce_wide(tuple(cat), cw, cap)
+            from .counting import _kernel_interpret, kernels_enabled
+
+            if kernels_enabled():
+                # sort fresh windows only, Pallas bitonic-merge the sorted
+                # table in, reduce with the streaming kernel — see
+                # counting.CodeStreamingCounter._flush_fn.
+                from ..ops.merge_kernel import merge_sorted_kernel
+                from ..ops.reduce_kernel import reduce_compact_sorted
+
+                interp = _kernel_interpret()
+                nw = self.n_words
+
+                @jax.jit
+                def fused(t: WideTable, codes):
+                    words, _valid = extract_kmers_wide(
+                        codes.reshape(-1, length), k, canonical)
+                    fw_sorted = jax.lax.sort(
+                        tuple(wd.reshape(-1) for wd in words),
+                        num_keys=nw)
+                    real = jnp.zeros(fw_sorted[0].shape, jnp.bool_)
+                    for wd in fw_sorted:
+                        real = real | (wd != SENTINEL)
+                    fw = real.astype(jnp.uint32)
+                    mwords, (mw,) = merge_sorted_kernel(
+                        t.words, (t.counts,), tuple(fw_sorted), (fw,),
+                        interpret=interp)
+                    n_real = t.words[0].shape[0] + fw_sorted[0].shape[0]
+                    return reduce_compact_sorted(
+                        tuple(wd[:n_real] for wd in mwords), mw[:n_real],
+                        cap, interpret=interp)
+            else:
+
+                @jax.jit
+                def fused(t: WideTable, codes):
+                    words, valid = extract_kmers_wide(
+                        codes.reshape(-1, length), k, canonical)
+                    cat = [jnp.concatenate([tw, wd.reshape(-1)])
+                           for tw, wd in zip(t.words, words)]
+                    cw = jnp.concatenate(
+                        [t.counts, valid.reshape(-1).astype(jnp.uint32)])
+                    return _unique_reduce_wide(tuple(cat), cw, cap)
 
             self._flush_fns[key] = fused
         return self._flush_fns[key]
