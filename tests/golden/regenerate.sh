@@ -27,6 +27,10 @@ $KAT sect -m17 -E -F -o sect_reads $data/sect_test.fa $data/ecoli_r1.1K.fastq
 $KAT cold -m17 -o cold_m17 $data/sect_test.fa $data/ecoli_r1.1K.fastq
 $KAT filter kmer -m17 --low_count 2 --high_count 100 -o fk_m17 $data/ecoli_r1.1K.fastq
 $KAT filter seq -m17 -T 0.2 --stats -o fs_m17 --seq $data/sect_test.fa $data/ecoli_r1.1K.fastq
+$KAT comp -m13 -o comp_3in $data/ecoli_r1.1K.fastq $data/sect_length_test.fa $data/sect_test.fa
+$KAT comp -m13 -x 1.5 -y 0.5 -i 256 -j 128 -o comp_scaled $data/ecoli_r1.1K.fastq $data/ecoli_r2.1K.fastq
+$KAT hist -o hist_jf $data/ecoli.header.jf27
+$KAT gcp -o gcp_jf $data/ecoli.header.jf27
 
 rm -rf "$G"/out
 mkdir -p "$G"/out
@@ -44,6 +48,10 @@ cp sect_jf-counts.cvg sect_jf-stats.tsv "$G"/out/
 cp sect_reads-counts.cvg sect_reads-stats.tsv "$G"/out/
 cp sect_reads-repetitive.fa sect_reads-non_repetitive.fa "$G"/out/ 2>/dev/null || true
 cp cold_m17-stats.tsv "$G"/out/
+cp comp_3in-main.mx comp_3in-ends.mx comp_3in-middle.mx comp_3in-mixed.mx \
+   comp_3in.stats "$G"/out/
+cp comp_scaled-main.mx comp_scaled.stats "$G"/out/
+cp hist_jf gcp_jf.mx "$G"/out/
 ls fk_m17* fs_m17* || true
 for f in fk_m17* fs_m17*; do cp "$f" "$G"/out/; done
 ls -la "$G"/out

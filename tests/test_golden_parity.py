@@ -111,6 +111,37 @@ def test_filter_seq(tmp_path):
     _diff(tmp_path / "fs_m17.stats", "fs_m17.stats")
 
 
+def test_comp_three_inputs(tmp_path):
+    """3-input comp: ends/middle/mixed matrices (comp.cc:305-364)."""
+    out = tmp_path / "comp_3in"
+    assert cli.main(["comp", "-m", "13", "-o", str(out), R1, SECT_LEN_FA,
+                     SECT_FA]) == 0
+    for suffix in ("-main.mx", "-ends.mx", "-middle.mx", "-mixed.mx",
+                   ".stats"):
+        _diff(tmp_path / f"comp_3in{suffix}", f"comp_3in{suffix}")
+
+
+def test_comp_scales_and_bins(tmp_path):
+    """Non-default d1/d2 scales and bin counts (comp.cc:674-681)."""
+    out = tmp_path / "comp_scaled"
+    assert cli.main(["comp", "-m", "13", "-x", "1.5", "-y", "0.5",
+                     "-i", "256", "-j", "128", "-o", str(out), R1, R2]) == 0
+    _diff(tmp_path / "comp_scaled-main.mx", "comp_scaled-main.mx")
+    _diff(tmp_path / "comp_scaled.stats", "comp_scaled.stats")
+
+
+def test_hist_load_mode_from_jf(tmp_path):
+    out = tmp_path / "hist_jf"
+    assert cli.main(["hist", "-o", str(out), JF27]) == 0
+    _diff(out, "hist_jf")
+
+
+def test_gcp_load_mode_from_jf(tmp_path):
+    out = tmp_path / "gcp_jf"
+    assert cli.main(["gcp", "-o", str(out), JF27]) == 0
+    _diff(tmp_path / "gcp_jf.mx", "gcp_jf.mx")
+
+
 def test_filter_kmer_jf_content(tmp_path):
     """The .jf dump embeds a per-run random hash matrix, so parity is on
     decoded (canonical kmer -> count) content, decoded by our codec from
