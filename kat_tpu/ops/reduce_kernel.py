@@ -144,8 +144,16 @@ def _route_compact(planes, mask, dest, window_rows: int):
     return vs, m
 
 
-def _reduce_kernel(*refs, n_key_words: int, rt: int, nr: int, n_tiles: int):
-    """Grid step: one [rt, 128] tile of the sorted (key..., w) stream."""
+def _reduce_kernel(*refs, n_key_words: int, rt: int, nr: int, n_tiles: int,
+                   ablate_level: int = 0):
+    """Grid step: one [rt, 128] tile of the sorted (key..., w) stream.
+
+    ablate_level is a cost-bisection aid (results are WRONG above 0):
+    1 drops the output DMA, 2 additionally drops the staging blend+roll,
+    3 additionally drops widen+route, 5 drops everything but the input
+    pipeline + one SMEM touch.  Level 4 (scan/rank) is ablated by
+    monkeypatching in benchmarks/profile_reduce_kernel.py.
+    """
     in_refs = refs[:n_key_words + 1]
     out_ref, state_out = refs[n_key_words + 1:n_key_words + 3]
     stage, smem, sem = refs[n_key_words + 3:]
@@ -168,6 +176,16 @@ def _reduce_kernel(*refs, n_key_words: int, rt: int, nr: int, n_tiles: int):
 
     kw = [r[...] for r in in_refs[:n_key_words]]
     w = in_refs[n_key_words][...]
+
+    if ablate_level >= 5:  # pipeline floor: consume input, no compute
+        smem[0, nw + 3] = kw[0][0, 0] + w[0, 0]
+
+        @pl.when(pid == n_tiles - 1)
+        def _finish_floor():
+            state_out[0, 0] = smem[0, nw + 3]
+            for j in range(n_key_words + 3):
+                state_out[0, 1 + j] = jnp.uint32(0)
+        return
 
     carry_kw = [smem[0, j] for j in range(n_key_words)]
     carry_sum = smem[0, nw]
@@ -208,18 +226,21 @@ def _reduce_kernel(*refs, n_key_words: int, rt: int, nr: int, n_tiles: int):
         return widen_u32(
             jnp.where(x, jnp.uint32(1), jnp.uint32(0))) != jnp.uint32(0)
 
-    planes = [widen_u32(jnp.where(emit, p, jnp.uint32(0)))
-              for p in prev_kw]
-    planes.append(widen_u32(jnp.where(emit, prev_s, jnp.uint32(0))))
-    wmask = widen_bool(emit)
-    wdest = widen_u32((off + rank).astype(jnp.uint32)).astype(jnp.int32)
+    if ablate_level < 3:
+        planes = [widen_u32(jnp.where(emit, p, jnp.uint32(0)))
+                  for p in prev_kw]
+        planes.append(widen_u32(jnp.where(emit, prev_s, jnp.uint32(0))))
+        wmask = widen_bool(emit)
+        wdest = widen_u32((off + rank).astype(jnp.uint32)).astype(jnp.int32)
 
-    routed, rmask = _route_compact(planes, wmask, wdest, sr)
+        routed, rmask = _route_compact(planes, wmask, wdest, sr)
 
-    # blend into staging: only positions that received an element change;
-    # everything else (incl. lanes < off of row 0) keeps prior content.
-    for j in range(n_planes):
-        stage[j] = jnp.where(rmask, routed[j], stage[j])
+        if ablate_level < 2:
+            # blend into staging: only positions that received an element
+            # change; everything else (incl. lanes < off of row 0) keeps
+            # prior content.
+            for j in range(n_planes):
+                stage[j] = jnp.where(rmask, routed[j], stage[j])
 
     # total emitted = last exclusive rank + last emit flag (jnp.sum /
     # lax.reduce route through int64 under x64, which Mosaic cannot lower)
@@ -229,17 +250,19 @@ def _reduce_kernel(*refs, n_key_words: int, rt: int, nr: int, n_tiles: int):
     full_rows = new_t // LANES
 
     # ---- ship staging to HBM (fixed-size DMA, tail overlap by design) ----
-    grow_c = jnp.minimum(grow, nr - (rt + 1))
-    cp = pltpu.make_async_copy(
-        stage.at[:, 0:rt + 1, :],
-        out_ref.at[:, pl.ds(grow_c, rt + 1), :],
-        sem)
-    cp.start()
-    cp.wait()
+    if ablate_level < 1:
+        grow_c = jnp.minimum(grow, nr - (rt + 1))
+        cp = pltpu.make_async_copy(
+            stage.at[:, 0:rt + 1, :],
+            out_ref.at[:, pl.ds(grow_c, rt + 1), :],
+            sem)
+        cp.start()
+        cp.wait()
 
-    # roll the partial row back to staging row 0 for the next tile
-    partial = stage[:, pl.ds(full_rows, 1), :]
-    stage[:, 0:1, :] = partial
+    if ablate_level < 2:
+        # roll the partial row back to staging row 0 for the next tile
+        partial = stage[:, pl.ds(full_rows, 1), :]
+        stage[:, 0:1, :] = partial
 
     # ---- update carry state ----
     for j in range(n_key_words):
@@ -268,10 +291,12 @@ def _pad_to(x: jax.Array, n: int, fill) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_size", "rows_per_tile", "interpret"))
+    static_argnames=("out_size", "rows_per_tile", "interpret",
+                     "ablate_level"))
 def reduce_compact_sorted(key_words, w, out_size: int,
                           rows_per_tile: int = 64,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          ablate_level: int = 0):
     """Reduce a SORTED key stream to (unique keys, summed counts).
 
     Args:
@@ -300,7 +325,7 @@ def reduce_compact_sorted(key_words, w, out_size: int,
 
     kernel = functools.partial(
         _reduce_kernel, n_key_words=n_key_words, rt=rt, nr=nr,
-        n_tiles=n_tiles)
+        n_tiles=n_tiles, ablate_level=ablate_level)
 
     in_specs = [pl.BlockSpec((rt, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
