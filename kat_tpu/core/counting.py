@@ -227,6 +227,9 @@ class CodeStreamingCounter:
         self._codes: list = []
         self._shape: tuple | None = None
         self._flush_fns: dict = {}
+        # Deferred overflow check: (pre-flush table, stack, target_b, rows,
+        # length) of the one flush whose n_unique has not been fetched yet.
+        self._unchecked: tuple | None = None
 
     def add_codes(self, codes) -> None:
         if not isinstance(codes, jax.Array):
@@ -325,24 +328,40 @@ class CodeStreamingCounter:
         stack = jnp.stack(self._codes + pad)
         self._codes = []
         self._shape = None
-        while True:
-            fn = self._flush_fn(target_b, rows, length, self.capacity)
-            nhi, nlo, nc, n_unique = fn(
-                self.table.keys_hi, self.table.keys_lo, self.table.counts,
-                stack)
-            n = int(n_unique)
-            if n <= self.capacity:
-                self.table = CountTable(nhi, nlo, nc, n_unique)
-                return
+        self._check_overflow()
+        fn = self._flush_fn(target_b, rows, length, self.capacity)
+        nhi, nlo, nc, n_unique = fn(
+            self.table.keys_hi, self.table.keys_lo, self.table.counts,
+            stack)
+        # Optimistic commit: fetching n_unique here would idle the device
+        # for a full dispatch round-trip per flush (the host can't run
+        # ahead while it blocks on the scalar).  The overflow check is
+        # deferred to the NEXT flush/finish, by which point the scalar is
+        # already computed; on overflow the flush replays from the kept
+        # pre-flush table at doubled capacity.
+        self._unchecked = (self.table, stack, target_b, rows, length)
+        self.table = CountTable(nhi, nlo, nc, n_unique)
+
+    def _check_overflow(self) -> None:
+        if self._unchecked is None:
+            return
+        prev, stack, target_b, rows, length = self._unchecked
+        self._unchecked = None
+        while int(self.table.n_unique) > self.capacity:
             if self.disable_grow or self.capacity * 2 > self.max_capacity:
                 raise TableFullError(
                     f"Count table full at capacity {self.capacity}")
             self.capacity *= 2
-            self.table = merge_tables(self.table, empty_table(0),
-                                      capacity=self.capacity)
+            prev = merge_tables(prev, empty_table(0),
+                                capacity=self.capacity)
+            fn = self._flush_fn(target_b, rows, length, self.capacity)
+            nhi, nlo, nc, n_unique = fn(
+                prev.keys_hi, prev.keys_lo, prev.counts, stack)
+            self.table = CountTable(nhi, nlo, nc, n_unique)
 
     def finish(self) -> CountTable:
         self._flush()
+        self._check_overflow()
         return self.table
 
 

@@ -140,6 +140,8 @@ class WideCodeStreamingCounter:
         self._codes: list = []
         self._shape: tuple | None = None
         self._flush_fns: dict = {}
+        # deferred overflow check — see counting.CodeStreamingCounter
+        self._unchecked: tuple | None = None
 
     def add_codes(self, codes) -> None:
         if not isinstance(codes, jax.Array):
@@ -231,23 +233,35 @@ class WideCodeStreamingCounter:
         stack = jnp.stack(self._codes + pad)
         self._codes = []
         self._shape = None
-        while True:
-            fn = self._flush_fn(target_b, rows, length, self.capacity)
-            *ws, cw, n_unique = fn(self.table, stack)
-            n = int(n_unique)
-            if n <= self.capacity:
-                self.table = WideTable(tuple(ws), cw, n_unique)
-                return
+        self._check_overflow()
+        fn = self._flush_fn(target_b, rows, length, self.capacity)
+        *ws, cw, n_unique = fn(self.table, stack)
+        # optimistic commit; overflow check deferred one flush so the host
+        # never blocks on n_unique mid-stream (counting.py has the full
+        # rationale)
+        self._unchecked = (self.table, stack, target_b, rows, length)
+        self.table = WideTable(tuple(ws), cw, n_unique)
+
+    def _check_overflow(self) -> None:
+        if self._unchecked is None:
+            return
+        prev, stack, target_b, rows, length = self._unchecked
+        self._unchecked = None
+        while int(self.table.n_unique) > self.capacity:
             if self.disable_grow or self.capacity * 2 > self.max_capacity:
                 from .counting import TableFullError
 
                 raise TableFullError(
                     f"Count table full at capacity {self.capacity}")
             self.capacity *= 2
-            self.table = _grow_table(self.table, self.capacity)
+            prev = _grow_table(prev, self.capacity)
+            fn = self._flush_fn(target_b, rows, length, self.capacity)
+            *ws, cw, n_unique = fn(prev, stack)
+            self.table = WideTable(tuple(ws), cw, n_unique)
 
     def finish(self) -> WideTable:
         self._flush()
+        self._check_overflow()
         return self.table
 
 
