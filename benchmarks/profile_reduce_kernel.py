@@ -13,6 +13,7 @@ cost probe only.
 Usage: python benchmarks/profile_reduce_kernel.py [n_log2] [rt ...]
 """
 
+import os
 import sys
 import time
 
@@ -21,7 +22,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from kat_tpu.ops import reduce_kernel as rk
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+from kat_tpu.ops import reduce_kernel as rk  # noqa: E402
 
 
 def timed(fn, args, label, n):
@@ -59,6 +62,11 @@ def main():
     lo = jax.device_put(jnp.asarray(
         (k64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)))
     w = jax.device_put(jnp.ones(n, jnp.uint32))
+
+    # dispatch floor: a trivial kernel timed the same way exposes the
+    # tunnel round-trip that inflates every standalone measurement here.
+    noop = jax.jit(lambda a: (a[0] + 1,))
+    timed(noop, (w,), "dispatch floor (noop)", n)
 
     for rt in rts:
         print(f"--- rows_per_tile={rt}, n=2^{n_log2} ---", flush=True)

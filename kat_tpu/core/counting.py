@@ -274,15 +274,26 @@ class CodeStreamingCounter:
                 # streaming reduce kernel compacts in one pass.
                 from ..ops.merge_kernel import merge_sorted_kernel
                 from ..ops.reduce_kernel import reduce_compact_sorted
+                from ..ops.sort_kernel import sort_planes_padded
 
                 interp = _kernel_interpret()
+                use_sort_kernel = not os.environ.get(
+                    "KAT_TPU_NO_SORT_KERNEL")
 
                 @jax.jit
                 def fused(thi, tlo, tc, codes):
                     hi, lo, _valid = extract_kmers(
                         codes.reshape(-1, length), k, canonical)
-                    fhi, flo = jax.lax.sort(
-                        (hi.reshape(-1), lo.reshape(-1)), num_keys=2)
+                    if use_sort_kernel:
+                        # Pallas bitonic full sort: bandwidth-bound passes
+                        # instead of lax.sort's ~4.3 ns/elt comparator
+                        # network (the dominant flush cost).
+                        fhi, flo = sort_planes_padded(
+                            (hi.reshape(-1), lo.reshape(-1)), 2,
+                            interpret=interp)
+                    else:
+                        fhi, flo = jax.lax.sort(
+                            (hi.reshape(-1), lo.reshape(-1)), num_keys=2)
                     fw = (~((fhi == SENTINEL)
                             & (flo == SENTINEL))).astype(jnp.uint32)
                     (mhi, mlo), (mw,) = merge_sorted_kernel(

@@ -13,6 +13,7 @@ with the narrow one.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -181,17 +182,25 @@ class WideCodeStreamingCounter:
                 # counting.CodeStreamingCounter._flush_fn.
                 from ..ops.merge_kernel import merge_sorted_kernel
                 from ..ops.reduce_kernel import reduce_compact_sorted
+                from ..ops.sort_kernel import sort_planes_padded
 
                 interp = _kernel_interpret()
                 nw = self.n_words
+                use_sort_kernel = not os.environ.get(
+                    "KAT_TPU_NO_SORT_KERNEL")
 
                 @jax.jit
                 def fused(t: WideTable, codes):
                     words, _valid = extract_kmers_wide(
                         codes.reshape(-1, length), k, canonical)
-                    fw_sorted = jax.lax.sort(
-                        tuple(wd.reshape(-1) for wd in words),
-                        num_keys=nw)
+                    if use_sort_kernel:
+                        fw_sorted = sort_planes_padded(
+                            tuple(wd.reshape(-1) for wd in words), nw,
+                            interpret=interp)
+                    else:
+                        fw_sorted = jax.lax.sort(
+                            tuple(wd.reshape(-1) for wd in words),
+                            num_keys=nw)
                     real = jnp.zeros(fw_sorted[0].shape, jnp.bool_)
                     for wd in fw_sorted:
                         real = real | (wd != SENTINEL)

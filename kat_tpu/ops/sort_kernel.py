@@ -1,0 +1,452 @@
+"""Memory-bounded Pallas bitonic full sort over HBM-resident plane lists.
+
+`lax.sort` costs ~4.3 ns/elt at scale on v5e and dominates the counting
+flush (the fresh-window sort).  A bitonic sorting network, blocked so that
+every stage streams HBM through VMEM, is bandwidth-bound instead:
+
+  pass count = 1 (local block sort) + sum over phases p of
+               (cross stages (p - B) + 1 intra pass)
+
+with B = log2(block elements).  At n = 2^26, br = 4096 (B = 19): 36
+read+write passes of 8 bytes/plane/elt — far under lax.sort's cost even
+before overlap.
+
+Structure (direction-aware generalization of ops/merge_kernel.py, which
+is the ascending special case of the final phase):
+
+  1. build: grid (nb,) kernels, each block's bitonic run-building rounds
+     (phases 1..B) executed in VMEM, split into chunks of <= max_rounds
+     static rounds per kernel to bound Mosaic compile size — direction =
+     block parity, so blocks alternate ascending/descending.
+  2. per phase p in B+1..P: cross-block stages at block strides >= W run
+     as paired-block passes through ONE shared kernel (grid (nb/2,); ps
+     and the stride arrive as SMEM scalars so every stage of every phase
+     reuses a single compiled binary); the remaining strides W/2..1 plus
+     every intra-block merge tail collapse into ONE W-block VMEM window
+     pass (grid (nb/W,), fori_loop over block pairs/blocks).
+
+Compared to the textbook one-pass-per-round schedule this costs
+1 + (build chunks) + sum_p (max(ps - log2 W, 0) + 1) full HBM read+write
+passes; the window kernel is what keeps the pass count O(log^2 n / log W)
+while fori_loop bodies keep the per-kernel unroll at the block size the
+remote Mosaic toolchain is known to handle (monolithic 4096-row kernels
+OOM it).
+
+Everything is in place via input_output_aliasing; VMEM per grid step is
+bounded by the window (~8MB).
+
+Direction rule: a compare-exchange at stride 2^r inside phase q orders
+element i ascending iff bit q of the global element index is 0 — carrying
+the global index (int32; n <= 2^31) makes every direction computation
+uniform, with no special cases at block or phase boundaries.
+
+Reference role: replaces the radix/CAS organisation of jellyfish's
+hash_counter fill (deps/jellyfish-2.2.0/include/jellyfish/
+large_hash_array.hpp) — here the sorted-stream world's equivalent is the
+fresh-window sort feeding merge + streaming reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.kmers import SENTINEL
+from .merge_kernel import _cmpx_blocks, _lex_less
+
+LANES = 128
+
+
+def _xor(a, b):
+    # i1 xor: Mosaic lowers &,|,~ on i1 vectors but not select/rotate.
+    return (a & ~b) | (~a & b)
+
+
+def _round_static(planes, q, r, n_key_words, br, desc_b):
+    """One compare-exchange round at static stride 2^r: ascending where bit
+    q of the global element index is 0.  For q < B that bit is a constant
+    block-local mask; for q == B it is the block's parity `desc_b` (traced
+    scalar).  Static strides keep the Mosaic lowering to constant rolls /
+    reshapes — a fully dynamic formulation (traced shifts inside fori_loop)
+    blows up the compiler."""
+    bB = int(np.log2(br * LANES))
+    if q == bB:
+        dm = jnp.full((br, LANES), desc_b)
+    else:
+        fi = (jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 0) * LANES
+              + jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 1))
+        dm = ((fi >> q) & 1) != 0
+    if r < 7:
+        s = 1 << r
+        lane = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 1)
+        is_low = (lane & s) == 0
+        partners = [
+            jnp.where(is_low, pltpu.roll(p, LANES - s, axis=1),
+                      pltpu.roll(p, s, axis=1))
+            for p in planes]
+        take = ((is_low & _lex_less(partners[:n_key_words],
+                                    planes[:n_key_words]))
+                | (~is_low & _lex_less(planes[:n_key_words],
+                                       partners[:n_key_words])))
+        take = _xor(take, dm)
+        return [jnp.where(take, pv, x)
+                for pv, x in zip(partners, planes)]
+    sr = 1 << (r - 7)
+    shaped = [p.reshape(-1, 2, sr, LANES) for p in planes]
+    top = [p[:, 0] for p in shaped]
+    bot = [p[:, 1] for p in shaped]
+    swap = _lex_less(bot[:n_key_words], top[:n_key_words])
+    swap = _xor(swap, dm.reshape(-1, 2, sr, LANES)[:, 0])
+    lo = [jnp.where(swap, b, a) for a, b in zip(top, bot)]
+    hi = [jnp.where(swap, a, b) for a, b in zip(top, bot)]
+    return [
+        jnp.concatenate([a[:, None], b[:, None]], axis=1).reshape(br, LANES)
+        for a, b in zip(lo, hi)]
+
+
+def _run_build_rounds(bB):
+    """The (q, r) compare-exchange schedule that sorts each block: bitonic
+    phases q = 1..B, strides 2^(q-1)..1."""
+    return [(q, r) for q in range(1, bB + 1)
+            for r in range(q - 1, -1, -1)]
+
+
+def _intra_tail(planes, n_key_words, br, desc):
+    """Bitonic merge tail (strides bs/2..1) with uniform traced direction
+    `desc`, static unrolled (mirrors merge_kernel._intra_block)."""
+    dm = jnp.full((br, LANES), desc)
+    sr = br // 2
+    while sr >= 1:
+        shaped = [p.reshape(-1, 2, sr, LANES) for p in planes]
+        top = [p[:, 0] for p in shaped]
+        bot = [p[:, 1] for p in shaped]
+        swap = _lex_less(bot[:n_key_words], top[:n_key_words])
+        swap = _xor(swap, dm.reshape(-1, 2, sr, LANES)[:, 0])
+        lo = [jnp.where(swap, b, a) for a, b in zip(top, bot)]
+        hi = [jnp.where(swap, a, b) for a, b in zip(top, bot)]
+        planes = [
+            jnp.concatenate([a[:, None], b[:, None]], axis=1).reshape(
+                br, LANES)
+            for a, b in zip(lo, hi)]
+        sr //= 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 1)
+    s = LANES // 2
+    while s >= 1:
+        is_low = (lane & s) == 0
+        partners = [
+            jnp.where(is_low, pltpu.roll(p, LANES - s, axis=1),
+                      pltpu.roll(p, s, axis=1))
+            for p in planes]
+        pk = partners[:n_key_words]
+        xk = planes[:n_key_words]
+        take = ((is_low & _lex_less(pk, xk))
+                | (~is_low & _lex_less(xk, pk)))
+        take = _xor(take, dm)
+        planes = [jnp.where(take, pv, x)
+                  for pv, x in zip(partners, planes)]
+        s //= 2
+    return planes
+
+
+def _rounds_kernel(*refs, n_planes: int, n_key_words: int, br: int,
+                   rounds: tuple, first: bool):
+    """Grid (nb,): one block per step, running the given static (q, r)
+    compare-exchange rounds in VMEM.  The run-building schedule is split
+    into several such passes (sort_kernel keeps each kernel under
+    ~max_rounds rounds so Mosaic compile stays bounded)."""
+    hbm_in = refs[:n_planes]
+    hbm_out = refs[n_planes:2 * n_planes]
+    out_dummy = refs[2 * n_planes]
+    vmem, sem_in, sem_out = refs[2 * n_planes + 1:]
+
+    del first  # every block is read exactly once per call: hbm_in is
+    #            always the right source, aliased or not
+    b = pl.program_id(0)
+    cps = [pltpu.make_async_copy(
+        hbm_in[p].at[pl.ds(b * br, br), :], vmem.at[p], sem_in.at[p])
+        for p in range(n_planes)]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    desc_b = (b & 1) != 0
+    planes = [vmem[p] for p in range(n_planes)]
+    for q, r in rounds:
+        planes = _round_static(planes, q, r, n_key_words, br, desc_b)
+    for p in range(n_planes):
+        vmem[p] = planes[p]
+
+    cps = [pltpu.make_async_copy(
+        vmem.at[p], hbm_out[p].at[pl.ds(b * br, br), :], sem_out.at[p])
+        for p in range(n_planes)]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+    out_dummy[0, 0] = jnp.int32(0)
+
+
+def _cross_kernel(*refs, n_planes: int, n_key_words: int, br: int):
+    """One cross-block compare-exchange stage: grid (nb // 2,).
+
+    The phase number ps and block stride sb arrive as SMEM scalars so ONE
+    compiled binary serves every stage of every phase (compile time over
+    the remote-TPU toolchain is the scarce resource here).  Each call
+    reads hbm_in and writes hbm_out exactly once per block, so it is
+    correct with or without buffer aliasing.
+    """
+    hbm_in = refs[:n_planes]
+    scal = refs[n_planes]
+    hbm_out = refs[n_planes + 1:2 * n_planes + 1]
+    out_dummy = refs[2 * n_planes + 1]
+    vmem, sem_in, sem_out = refs[2 * n_planes + 2:]
+
+    j = pl.program_id(0)
+    ps = scal[0, 0]
+    sb = scal[0, 1]
+    b1 = ((j & ~(sb - 1)) << 1) | (j & (sb - 1))
+    b2 = b1 + sb
+    desc = ((b1 >> ps) & 1) != 0
+
+    for i, blk in ((0, b1), (1, b2)):
+        cps = [pltpu.make_async_copy(
+            hbm_in[p].at[pl.ds(blk * br, br), :],
+            vmem.at[p, i], sem_in.at[i * n_planes + p])
+            for p in range(n_planes)]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
+    v1 = [vmem[p, 0] for p in range(n_planes)]
+    v2 = [vmem[p, 1] for p in range(n_planes)]
+    lo, hi = _cmpx_blocks(v1, v2, n_key_words)
+    dm = jnp.full((br, LANES), desc)
+    for p in range(n_planes):
+        # desc: max to the low block, min to the high block
+        vmem[p, 0] = jnp.where(dm, hi[p], lo[p])
+        vmem[p, 1] = jnp.where(dm, lo[p], hi[p])
+
+    for i, blk in ((0, b1), (1, b2)):
+        cps = [pltpu.make_async_copy(
+            vmem.at[p, i],
+            hbm_out[p].at[pl.ds(blk * br, br), :],
+            sem_out.at[i * n_planes + p])
+            for p in range(n_planes)]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+    out_dummy[0, 0] = jnp.int32(0)
+
+
+def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
+                   W: int):
+    """Finish one bitonic phase inside a W-block VMEM window: grid
+    (nb // W,).
+
+    Loads W contiguous blocks with one DMA per plane, runs the phase's
+    remaining cross-block stages (static strides W/2..1, each gated on
+    `stride < 2^ps` so small phases skip the stages that would cross sort
+    units) as fori_loops over block pairs, then the intra-block merge
+    tails — replacing up to log2(W)+1 full HBM read+write passes with
+    one.  ps is an SMEM scalar: one binary serves all phases.  The
+    fori_loop bodies keep the Mosaic unroll at the block size that is
+    known to compile (the monolithic 4096-row formulation of the same
+    math OOMs the remote compiler).
+    """
+    hbm_in = refs[:n_planes]
+    scal = refs[n_planes]
+    hbm_out = refs[n_planes + 1:2 * n_planes + 1]
+    out_dummy = refs[2 * n_planes + 1]
+    vmem, sem_in, sem_out = refs[2 * n_planes + 2:]
+
+    j = pl.program_id(0)
+    ps = scal[0, 0]
+    base = j * W
+    rows = W * br
+
+    cps = [pltpu.make_async_copy(
+        hbm_in[p].at[pl.ds(j * rows, rows), :], vmem.at[p], sem_in.at[p])
+        for p in range(n_planes)]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    def blk(p, w):
+        return vmem[p, pl.ds(w * br, br), :]
+
+    def set_blk(p, w, val):
+        vmem[p, pl.ds(w * br, br), :] = val
+
+    s = W // 2
+    while s >= 1:
+        @pl.when(jnp.int32(s) < (jnp.int32(1) << ps))
+        def _stage(s=s):
+            def body(i, carry):
+                w1 = ((i & ~(s - 1)) << 1) | (i & (s - 1))
+                w2 = w1 + s
+                desc = (((base + w1) >> ps) & 1) != 0
+                v1 = [blk(p, w1) for p in range(n_planes)]
+                v2 = [blk(p, w2) for p in range(n_planes)]
+                lo, hi = _cmpx_blocks(v1, v2, n_key_words)
+                dm = jnp.full((br, LANES), desc)
+                for p in range(n_planes):
+                    set_blk(p, w1, jnp.where(dm, hi[p], lo[p]))
+                    set_blk(p, w2, jnp.where(dm, lo[p], hi[p]))
+                return carry
+
+            jax.lax.fori_loop(0, W // 2, body, jnp.int32(0))
+        s //= 2
+
+    def tail(w, carry):
+        desc = (((base + w) >> ps) & 1) != 0
+        planes = [blk(p, w) for p in range(n_planes)]
+        planes = _intra_tail(planes, n_key_words, br, desc)
+        for p in range(n_planes):
+            set_blk(p, w, planes[p])
+        return carry
+
+    jax.lax.fori_loop(0, W, tail, jnp.int32(0))
+
+    cps = [pltpu.make_async_copy(
+        vmem.at[p], hbm_out[p].at[pl.ds(j * rows, rows), :], sem_out.at[p])
+        for p in range(n_planes)]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+    out_dummy[0, 0] = jnp.int32(0)
+
+
+def _inplace_call(kernel, grid, n_planes, n, br, vmem_shape, interpret,
+                  n_scalars=0):
+    """pallas_call wrapper: n_planes aliased HBM planes (+ optional SMEM
+    scalar input right after them), SMEM marker output, given VMEM
+    scratch."""
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=(
+            [pl.BlockSpec(memory_space=pl.ANY)] * n_planes
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)] * (1 if n_scalars
+                                                         else 0)),
+        out_specs=(
+            [pl.BlockSpec(memory_space=pl.ANY)] * n_planes
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+        out_shape=(
+            [jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32)
+             for _ in range(n_planes)]
+            + [jax.ShapeDtypeStruct((1, 1), jnp.int32)]),
+        input_output_aliases={p: p for p in range(n_planes)},
+        scratch_shapes=[
+            pltpu.VMEM(vmem_shape, jnp.uint32),
+            pltpu.SemaphoreType.DMA((2 * n_planes,)),
+            pltpu.SemaphoreType.DMA((2 * n_planes,)),
+        ],
+        interpret=interpret,
+    )
+
+
+def _pick_window(n_planes: int, br: int, nb: int) -> int:
+    """Largest pow2 window (blocks) with the VMEM scratch under ~8MB."""
+    budget = 8 * 1024 * 1024
+    w = 16
+    while w > 2 and n_planes * w * br * LANES * 4 > budget:
+        w //= 2
+    while w > nb:
+        w //= 2
+    return max(w, 1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_key_words", "block_rows",
+                                    "interpret", "max_rounds"))
+def bitonic_sort_planes(planes, n_key_words: int, block_rows: int = 4096,
+                        interpret: bool = False, max_rounds: int = 36):
+    """Full ascending sort of a plane list (first n_key_words planes are
+    the lexicographic key, the rest payload).  Length must be a power of
+    two and a multiple of 2 * block_rows * 128 (the caller pads with
+    SENTINEL keys / zero payloads; sentinels sort last)."""
+    n_planes = len(planes)
+    n = planes[0].shape[0]
+    br = block_rows
+    while br > 8 and n < 2 * br * LANES:
+        br //= 2
+    bs = br * LANES
+    if n % bs or (n // bs) & ((n // bs) - 1) or n // bs < 2:
+        raise ValueError(f"n={n} must be a pow2 multiple of 2*{bs}")
+    nb = n // bs
+    bB = int(np.log2(bs))
+    pP = int(np.log2(n))
+
+    W = _pick_window(n_planes, br, nb)
+
+    arrs = [p.reshape(-1, LANES) for p in planes]
+    with jax.enable_x64(False):
+        rounds = _run_build_rounds(bB)
+        mr = max_rounds
+        chunks = [tuple(rounds[i:i + mr]) for i in range(0, len(rounds), mr)]
+        for ci, chunk in enumerate(chunks):
+            kern = functools.partial(
+                _rounds_kernel, n_planes=n_planes,
+                n_key_words=n_key_words, br=br, rounds=chunk,
+                first=(ci == 0))
+            outs = _inplace_call(kern, (nb,), n_planes, n, br,
+                                 (n_planes, br, LANES), interpret)(*arrs)
+            arrs = list(outs[:n_planes])
+
+        cross = functools.partial(
+            _cross_kernel, n_planes=n_planes, n_key_words=n_key_words,
+            br=br)
+        window = functools.partial(
+            _window_kernel, n_planes=n_planes, n_key_words=n_key_words,
+            br=br, W=W)
+        for p in range(bB + 1, pP + 1):
+            ps = p - bB
+            # cross stages at block strides >= W run as paired-block
+            # passes; the window pass finishes strides < W + the tails.
+            sb = 1 << (ps - 1)
+            while sb >= W:
+                scal = jnp.array([[ps, sb]], jnp.int32)
+                outs = _inplace_call(
+                    cross, (nb // 2,), n_planes, n, br,
+                    (n_planes, 2, br, LANES), interpret,
+                    n_scalars=1)(*arrs, scal)
+                arrs = list(outs[:n_planes])
+                sb //= 2
+            scal = jnp.array([[ps, 0]], jnp.int32)
+            outs = _inplace_call(
+                window, (nb // W,), n_planes, n, br,
+                (n_planes, W * br, LANES), interpret,
+                n_scalars=1)(*arrs, scal)
+            arrs = list(outs[:n_planes])
+    return tuple(a.reshape(-1) for a in arrs)
+
+
+def sort_planes_padded(planes, n_key_words: int, block_rows: int = 4096,
+                       interpret: bool = False):
+    """Sort arbitrary-length planes: pads to the kernel's pow2 geometry
+    with sentinel keys, sorts, and slices back to the input length (the
+    dropped tail is all sentinels, which sort last)."""
+    n = planes[0].shape[0]
+    br = block_rows
+    while br > 8 and n < 2 * br * LANES:
+        br //= 2
+    bs = br * LANES
+    tgt = max(2 * bs, 1 << int(np.ceil(np.log2(max(n, 1)))))
+    padded = []
+    for i, p in enumerate(planes):
+        fill = SENTINEL if i < n_key_words else 0
+        padded.append(jnp.concatenate(
+            [p, jnp.full((tgt - n,), fill, p.dtype)]) if tgt != n else p)
+    outs = bitonic_sort_planes(tuple(padded), n_key_words,
+                               block_rows=block_rows, interpret=interpret)
+    return tuple(o[:n] for o in outs)
