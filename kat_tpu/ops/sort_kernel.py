@@ -214,15 +214,14 @@ def _cross_kernel(*refs, n_planes: int, n_key_words: int, br: int):
     b2 = b1 + sb
     desc = ((b1 >> ps) & 1) != 0
 
-    for i, blk in ((0, b1), (1, b2)):
-        cps = [pltpu.make_async_copy(
-            hbm_in[p].at[pl.ds(blk * br, br), :],
-            vmem.at[p, i], sem_in.at[i * n_planes + p])
-            for p in range(n_planes)]
-        for cp in cps:
-            cp.start()
-        for cp in cps:
-            cp.wait()
+    cps = [pltpu.make_async_copy(
+        hbm_in[p].at[pl.ds(blk * br, br), :],
+        vmem.at[p, i], sem_in.at[i * n_planes + p])
+        for i, blk in ((0, b1), (1, b2)) for p in range(n_planes)]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
 
     v1 = [vmem[p, 0] for p in range(n_planes)]
     v2 = [vmem[p, 1] for p in range(n_planes)]
@@ -233,16 +232,15 @@ def _cross_kernel(*refs, n_planes: int, n_key_words: int, br: int):
         vmem[p, 0] = jnp.where(dm, hi[p], lo[p])
         vmem[p, 1] = jnp.where(dm, lo[p], hi[p])
 
-    for i, blk in ((0, b1), (1, b2)):
-        cps = [pltpu.make_async_copy(
-            vmem.at[p, i],
-            hbm_out[p].at[pl.ds(blk * br, br), :],
-            sem_out.at[i * n_planes + p])
-            for p in range(n_planes)]
-        for cp in cps:
-            cp.start()
-        for cp in cps:
-            cp.wait()
+    cps = [pltpu.make_async_copy(
+        vmem.at[p, i],
+        hbm_out[p].at[pl.ds(blk * br, br), :],
+        sem_out.at[i * n_planes + p])
+        for i, blk in ((0, b1), (1, b2)) for p in range(n_planes)]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
     out_dummy[0, 0] = jnp.int32(0)
 
 
@@ -369,7 +367,7 @@ def _pick_window(n_planes: int, br: int, nb: int) -> int:
 @functools.partial(jax.jit,
                    static_argnames=("n_key_words", "block_rows",
                                     "interpret", "max_rounds"))
-def bitonic_sort_planes(planes, n_key_words: int, block_rows: int = 4096,
+def bitonic_sort_planes(planes, n_key_words: int, block_rows: int = 512,
                         interpret: bool = False, max_rounds: int = 36):
     """Full ascending sort of a plane list (first n_key_words planes are
     the lexicographic key, the rest payload).  Length must be a power of
@@ -431,7 +429,57 @@ def bitonic_sort_planes(planes, n_key_words: int, block_rows: int = 4096,
     return tuple(a.reshape(-1) for a in arrs)
 
 
-def sort_planes_padded(planes, n_key_words: int, block_rows: int = 4096,
+@functools.partial(jax.jit,
+                   static_argnames=("n_key_words", "block_rows",
+                                    "interpret"))
+def bitonic_final_phase(planes, n_key_words: int, block_rows: int = 512,
+                        interpret: bool = False):
+    """Run ONLY the final bitonic phase (merge an [ascending | descending]
+    bitonic plane list into fully ascending order) through the shared
+    cross-stage + window kernels.  This is the merge-kernel operation
+    (ops/merge_kernel.bitonic_merge_planes delegates here): direction is
+    uniformly ascending because bit P of any index < 2^P is 0, and the
+    window pass collapses the last log2(W) block strides plus the
+    intra-block tails into one HBM pass."""
+    n_planes = len(planes)
+    n = planes[0].shape[0]
+    br = block_rows
+    while br > 8 and n < 2 * br * LANES:
+        br //= 2
+    bs = br * LANES
+    if n % bs or (n // bs) & ((n // bs) - 1) or n // bs < 2:
+        raise ValueError(f"n={n} must be a pow2 multiple of 2*{bs}")
+    nb = n // bs
+    ps = int(np.log2(nb))
+
+    W = _pick_window(n_planes, br, nb)
+    cross = functools.partial(
+        _cross_kernel, n_planes=n_planes, n_key_words=n_key_words, br=br)
+    window = functools.partial(
+        _window_kernel, n_planes=n_planes, n_key_words=n_key_words,
+        br=br, W=W)
+
+    arrs = [p.reshape(-1, LANES) for p in planes]
+    with jax.enable_x64(False):
+        sb = nb // 2
+        while sb >= W:
+            scal = jnp.array([[ps, sb]], jnp.int32)
+            outs = _inplace_call(
+                cross, (nb // 2,), n_planes, n, br,
+                (n_planes, 2, br, LANES), interpret,
+                n_scalars=1)(*arrs, scal)
+            arrs = list(outs[:n_planes])
+            sb //= 2
+        scal = jnp.array([[ps, 0]], jnp.int32)
+        outs = _inplace_call(
+            window, (nb // W,), n_planes, n, br,
+            (n_planes, W * br, LANES), interpret,
+            n_scalars=1)(*arrs, scal)
+        arrs = list(outs[:n_planes])
+    return tuple(a.reshape(-1) for a in arrs)
+
+
+def sort_planes_padded(planes, n_key_words: int, block_rows: int = 512,
                        interpret: bool = False):
     """Sort arbitrary-length planes: pads to the kernel's pow2 geometry
     with sentinel keys, sorts, and slices back to the input length (the
