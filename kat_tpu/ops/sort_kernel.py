@@ -12,25 +12,27 @@ read+write passes of 8 bytes/plane/elt — far under lax.sort's cost even
 before overlap.
 
 Structure (direction-aware generalization of ops/merge_kernel.py, which
-is the ascending special case of the final phase):
+is the ascending special case of the final phase) — TWO kernels total:
 
-  1. build: grid (nb,) kernels, each block's bitonic run-building rounds
-     (phases 1..B) executed in VMEM, split into chunks of <= max_rounds
-     static rounds per kernel to bound Mosaic compile size — direction =
-     block parity, so blocks alternate ascending/descending.
-  2. per phase p in B+1..P: cross-block stages at block strides >= W run
-     as paired-block passes through ONE shared kernel (grid (nb/2,); ps
-     and the stride arrive as SMEM scalars so every stage of every phase
-     reuses a single compiled binary); the remaining strides W/2..1 plus
-     every intra-block merge tail collapse into ONE W-block VMEM window
-     pass (grid (nb/W,), fori_loop over block pairs/blocks).
+  1. window kernel, grid (nb/W,): W contiguous blocks in VMEM.  With
+     do_build set it first runs every run-building round (phases 1..B)
+     on each block — a fori_loop over the phase q emits the B static-
+     stride round bodies ONCE, gated on `r < q` — then phases
+     B+1..B+log2(W) entirely in-window (cross stages as fori_loops over
+     block pairs + intra tails).  The whole build therefore costs ONE
+     HBM read+write pass.
+  2. per later phase p: cross-block stages at block strides >= W through
+     the shared cross kernel (grid (nb/2,); ps and stride are SMEM
+     scalars, so one binary serves every stage of every phase), then one
+     window pass for the remaining strides + tails.
 
-Compared to the textbook one-pass-per-round schedule this costs
-1 + (build chunks) + sum_p (max(ps - log2 W, 0) + 1) full HBM read+write
-passes; the window kernel is what keeps the pass count O(log^2 n / log W)
-while fori_loop bodies keep the per-kernel unroll at the block size the
-remote Mosaic toolchain is known to handle (monolithic 4096-row kernels
-OOM it).
+Total: 1 + sum over the last log2(nb/W) phases of (ps - log2 W + 1)
+full HBM read+write passes — O(log^2 n / log W) instead of the textbook
+one-pass-per-round O(log^2 n) — while the traced-phase gating keeps the
+per-kernel unroll at the block size the remote Mosaic toolchain is known
+to handle (monolithic 4096-row kernels and 136-round static unrolls both
+OOM it).  Directions are everywhere computed from bits of the global
+element index, so block/phase boundaries need no special cases.
 
 Everything is in place via input_output_aliasing; VMEM per grid step is
 bounded by the window (~8MB).
@@ -67,20 +69,16 @@ def _xor(a, b):
     return (a & ~b) | (~a & b)
 
 
-def _round_static(planes, q, r, n_key_words, br, desc_b):
-    """One compare-exchange round at static stride 2^r: ascending where bit
-    q of the global element index is 0.  For q < B that bit is a constant
-    block-local mask; for q == B it is the block's parity `desc_b` (traced
-    scalar).  Static strides keep the Mosaic lowering to constant rolls /
-    reshapes — a fully dynamic formulation (traced shifts inside fori_loop)
-    blows up the compiler."""
-    bB = int(np.log2(br * LANES))
-    if q == bB:
-        dm = jnp.full((br, LANES), desc_b)
-    else:
-        fi = (jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 0) * LANES
-              + jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 1))
-        dm = ((fi >> q) & 1) != 0
+def _round_dyn_q(planes, q, r, n_key_words, br, fi_global):
+    """One compare-exchange round at STATIC stride 2^r: ascending where
+    bit q of the global element index is 0, with q a TRACED scalar.
+
+    Static strides keep the Mosaic lowering to constant rolls / reshapes
+    (a fully dynamic-stride formulation blows up the compiler); the
+    direction mask is an elementwise shift of the global flat iota by the
+    traced q, which lowers fine.  fi_global: [br, LANES] int32 global
+    element indices of this block (n <= 2^31)."""
+    dm = ((fi_global >> q) & 1) != 0
     if r < 7:
         s = 1 << r
         lane = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 1)
@@ -107,13 +105,6 @@ def _round_static(planes, q, r, n_key_words, br, desc_b):
     return [
         jnp.concatenate([a[:, None], b[:, None]], axis=1).reshape(br, LANES)
         for a, b in zip(lo, hi)]
-
-
-def _run_build_rounds(bB):
-    """The (q, r) compare-exchange schedule that sorts each block: bitonic
-    phases q = 1..B, strides 2^(q-1)..1."""
-    return [(q, r) for q in range(1, bB + 1)
-            for r in range(q - 1, -1, -1)]
 
 
 def _intra_tail(planes, n_key_words, br, desc):
@@ -151,45 +142,6 @@ def _intra_tail(planes, n_key_words, br, desc):
                   for pv, x in zip(partners, planes)]
         s //= 2
     return planes
-
-
-def _rounds_kernel(*refs, n_planes: int, n_key_words: int, br: int,
-                   rounds: tuple, first: bool):
-    """Grid (nb,): one block per step, running the given static (q, r)
-    compare-exchange rounds in VMEM.  The run-building schedule is split
-    into several such passes (sort_kernel keeps each kernel under
-    ~max_rounds rounds so Mosaic compile stays bounded)."""
-    hbm_in = refs[:n_planes]
-    hbm_out = refs[n_planes:2 * n_planes]
-    out_dummy = refs[2 * n_planes]
-    vmem, sem_in, sem_out = refs[2 * n_planes + 1:]
-
-    del first  # every block is read exactly once per call: hbm_in is
-    #            always the right source, aliased or not
-    b = pl.program_id(0)
-    cps = [pltpu.make_async_copy(
-        hbm_in[p].at[pl.ds(b * br, br), :], vmem.at[p], sem_in.at[p])
-        for p in range(n_planes)]
-    for cp in cps:
-        cp.start()
-    for cp in cps:
-        cp.wait()
-
-    desc_b = (b & 1) != 0
-    planes = [vmem[p] for p in range(n_planes)]
-    for q, r in rounds:
-        planes = _round_static(planes, q, r, n_key_words, br, desc_b)
-    for p in range(n_planes):
-        vmem[p] = planes[p]
-
-    cps = [pltpu.make_async_copy(
-        vmem.at[p], hbm_out[p].at[pl.ds(b * br, br), :], sem_out.at[p])
-        for p in range(n_planes)]
-    for cp in cps:
-        cp.start()
-    for cp in cps:
-        cp.wait()
-    out_dummy[0, 0] = jnp.int32(0)
 
 
 def _cross_kernel(*refs, n_planes: int, n_key_words: int, br: int):
@@ -246,18 +198,26 @@ def _cross_kernel(*refs, n_planes: int, n_key_words: int, br: int):
 
 def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
                    W: int):
-    """Finish one bitonic phase inside a W-block VMEM window: grid
+    """Run a RANGE of bitonic work inside a W-block VMEM window: grid
     (nb // W,).
 
-    Loads W contiguous blocks with one DMA per plane, runs the phase's
-    remaining cross-block stages (static strides W/2..1, each gated on
-    `stride < 2^ps` so small phases skip the stages that would cross sort
-    units) as fori_loops over block pairs, then the intra-block merge
-    tails — replacing up to log2(W)+1 full HBM read+write passes with
-    one.  ps is an SMEM scalar: one binary serves all phases.  The
-    fori_loop bodies keep the Mosaic unroll at the block size that is
-    known to compile (the monolithic 4096-row formulation of the same
-    math OOMs the remote compiler).
+    One binary, three SMEM scalars [do_build, ps_lo, ps_hi]:
+
+      do_build != 0: first run every run-building round (phases q=1..B,
+        strides 2^(q-1)..1) on each block — a fori_loop over q whose body
+        emits the B static-stride rounds once, each gated on `r < q`, so
+        the executed schedule is exact while the compiled code stays at
+        ~B round bodies (the fully unrolled 136-round formulation OOMs
+        the remote Mosaic toolchain).
+      then phases ps = ps_lo..ps_hi: cross-block stages (static strides
+        W/2..1 gated on `stride < 2^ps`) as fori_loops over block pairs,
+        then the intra-block merge tails.
+
+    A full sort's build + first log2(W) phases therefore collapse into
+    ONE HBM read+write pass, and each later phase's last log2(W) strides
+    + tails into one more.  Directions are uniform in the global element
+    index (bit q / bit p), so block parity and phase boundaries need no
+    special cases.
     """
     hbm_in = refs[:n_planes]
     scal = refs[n_planes]
@@ -266,9 +226,12 @@ def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
     vmem, sem_in, sem_out = refs[2 * n_planes + 2:]
 
     j = pl.program_id(0)
-    ps = scal[0, 0]
+    do_build = scal[0, 0]
+    ps_lo = scal[0, 1]
+    ps_hi = scal[0, 2]
     base = j * W
     rows = W * br
+    bB = int(np.log2(br * LANES))
 
     cps = [pltpu.make_async_copy(
         hbm_in[p].at[pl.ds(j * rows, rows), :], vmem.at[p], sem_in.at[p])
@@ -284,35 +247,62 @@ def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
     def set_blk(p, w, val):
         vmem[p, pl.ds(w * br, br), :] = val
 
-    s = W // 2
-    while s >= 1:
-        @pl.when(jnp.int32(s) < (jnp.int32(1) << ps))
-        def _stage(s=s):
-            def body(i, carry):
-                w1 = ((i & ~(s - 1)) << 1) | (i & (s - 1))
-                w2 = w1 + s
-                desc = (((base + w1) >> ps) & 1) != 0
-                v1 = [blk(p, w1) for p in range(n_planes)]
-                v2 = [blk(p, w2) for p in range(n_planes)]
-                lo, hi = _cmpx_blocks(v1, v2, n_key_words)
-                dm = jnp.full((br, LANES), desc)
-                for p in range(n_planes):
-                    set_blk(p, w1, jnp.where(dm, hi[p], lo[p]))
-                    set_blk(p, w2, jnp.where(dm, lo[p], hi[p]))
-                return carry
+    fi_local = (jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 1))
 
-            jax.lax.fori_loop(0, W // 2, body, jnp.int32(0))
-        s //= 2
+    @pl.when(do_build != 0)
+    def _build():
+        def per_q(q, carry):
+            def per_block(w, c2):
+                fi_global = (base + w) * (br * LANES) + fi_local
+                for r in range(bB - 1, -1, -1):
+                    @pl.when(r < q)
+                    def _round(r=r):
+                        planes = [blk(p, w) for p in range(n_planes)]
+                        planes = _round_dyn_q(planes, q, r, n_key_words,
+                                              br, fi_global)
+                        for p in range(n_planes):
+                            set_blk(p, w, planes[p])
+                return c2
 
-    def tail(w, carry):
-        desc = (((base + w) >> ps) & 1) != 0
-        planes = [blk(p, w) for p in range(n_planes)]
-        planes = _intra_tail(planes, n_key_words, br, desc)
-        for p in range(n_planes):
-            set_blk(p, w, planes[p])
+            jax.lax.fori_loop(0, W, per_block, jnp.int32(0))
+            return carry
+
+        jax.lax.fori_loop(1, bB + 1, per_q, jnp.int32(0))
+
+    def per_phase(ps, carry):
+        s = W // 2
+        while s >= 1:
+            @pl.when(jnp.int32(s) < (jnp.int32(1) << ps))
+            def _stage(s=s):
+                def body(i, c2):
+                    w1 = ((i & ~(s - 1)) << 1) | (i & (s - 1))
+                    w2 = w1 + s
+                    desc = (((base + w1) >> ps) & 1) != 0
+                    v1 = [blk(p, w1) for p in range(n_planes)]
+                    v2 = [blk(p, w2) for p in range(n_planes)]
+                    lo, hi = _cmpx_blocks(v1, v2, n_key_words)
+                    dm = jnp.full((br, LANES), desc)
+                    for p in range(n_planes):
+                        set_blk(p, w1, jnp.where(dm, hi[p], lo[p]))
+                        set_blk(p, w2, jnp.where(dm, lo[p], hi[p]))
+                    return c2
+
+                jax.lax.fori_loop(0, W // 2, body, jnp.int32(0))
+            s //= 2
+
+        def tail(w, c2):
+            desc = (((base + w) >> ps) & 1) != 0
+            planes = [blk(p, w) for p in range(n_planes)]
+            planes = _intra_tail(planes, n_key_words, br, desc)
+            for p in range(n_planes):
+                set_blk(p, w, planes[p])
+            return c2
+
+        jax.lax.fori_loop(0, W, tail, jnp.int32(0))
         return carry
 
-    jax.lax.fori_loop(0, W, tail, jnp.int32(0))
+    jax.lax.fori_loop(ps_lo, ps_hi + 1, per_phase, jnp.int32(0))
 
     cps = [pltpu.make_async_copy(
         vmem.at[p], hbm_out[p].at[pl.ds(j * rows, rows), :], sem_out.at[p])
@@ -366,9 +356,9 @@ def _pick_window(n_planes: int, br: int, nb: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("n_key_words", "block_rows",
-                                    "interpret", "max_rounds"))
+                                    "interpret"))
 def bitonic_sort_planes(planes, n_key_words: int, block_rows: int = 512,
-                        interpret: bool = False, max_rounds: int = 36):
+                        interpret: bool = False):
     """Full ascending sort of a plane list (first n_key_words planes are
     the lexicographic key, the rest payload).  Length must be a power of
     two and a multiple of 2 * block_rows * 128 (the caller pads with
@@ -386,28 +376,27 @@ def bitonic_sort_planes(planes, n_key_words: int, block_rows: int = 512,
     pP = int(np.log2(n))
 
     W = _pick_window(n_planes, br, nb)
+    mW = int(np.log2(W))
+    cross = functools.partial(
+        _cross_kernel, n_planes=n_planes, n_key_words=n_key_words, br=br)
+    window = functools.partial(
+        _window_kernel, n_planes=n_planes, n_key_words=n_key_words,
+        br=br, W=W)
+
+    def window_call(arrs, do_build, ps_lo, ps_hi):
+        scal = jnp.array([[do_build, ps_lo, ps_hi]], jnp.int32)
+        outs = _inplace_call(
+            window, (nb // W,), n_planes, n, br,
+            (n_planes, W * br, LANES), interpret, n_scalars=1)(*arrs, scal)
+        return list(outs[:n_planes])
 
     arrs = [p.reshape(-1, LANES) for p in planes]
     with jax.enable_x64(False):
-        rounds = _run_build_rounds(bB)
-        mr = max_rounds
-        chunks = [tuple(rounds[i:i + mr]) for i in range(0, len(rounds), mr)]
-        for ci, chunk in enumerate(chunks):
-            kern = functools.partial(
-                _rounds_kernel, n_planes=n_planes,
-                n_key_words=n_key_words, br=br, rounds=chunk,
-                first=(ci == 0))
-            outs = _inplace_call(kern, (nb,), n_planes, n, br,
-                                 (n_planes, br, LANES), interpret)(*arrs)
-            arrs = list(outs[:n_planes])
-
-        cross = functools.partial(
-            _cross_kernel, n_planes=n_planes, n_key_words=n_key_words,
-            br=br)
-        window = functools.partial(
-            _window_kernel, n_planes=n_planes, n_key_words=n_key_words,
-            br=br, W=W)
-        for p in range(bB + 1, pP + 1):
+        # one pass: all run-building rounds + the first phases that fit
+        # entirely inside the window
+        local_hi = min(mW, pP - bB)
+        arrs = window_call(arrs, 1, 1, local_hi)
+        for p in range(bB + local_hi + 1, pP + 1):
             ps = p - bB
             # cross stages at block strides >= W run as paired-block
             # passes; the window pass finishes strides < W + the tails.
@@ -420,12 +409,7 @@ def bitonic_sort_planes(planes, n_key_words: int, block_rows: int = 512,
                     n_scalars=1)(*arrs, scal)
                 arrs = list(outs[:n_planes])
                 sb //= 2
-            scal = jnp.array([[ps, 0]], jnp.int32)
-            outs = _inplace_call(
-                window, (nb // W,), n_planes, n, br,
-                (n_planes, W * br, LANES), interpret,
-                n_scalars=1)(*arrs, scal)
-            arrs = list(outs[:n_planes])
+            arrs = window_call(arrs, 0, ps, ps)
     return tuple(a.reshape(-1) for a in arrs)
 
 
@@ -470,7 +454,7 @@ def bitonic_final_phase(planes, n_key_words: int, block_rows: int = 512,
                 n_scalars=1)(*arrs, scal)
             arrs = list(outs[:n_planes])
             sb //= 2
-        scal = jnp.array([[ps, 0]], jnp.int32)
+        scal = jnp.array([[0, ps, ps]], jnp.int32)
         outs = _inplace_call(
             window, (nb // W,), n_planes, n, br,
             (n_planes, W * br, LANES), interpret,
