@@ -33,11 +33,12 @@ def main() -> None:
     windows = rows * (length - k + 1)
     genome_len = 1 << 23               # 8.4 Mbp simulated genome
     table_cap = 1 << 24
-    flush_batches = 12                 # ~49M windows/flush: table (2^24)
-    #                                    + windows lands just under 2^26, so
-    #                                    the bitonic merge pads ~2% only
-    warm_batches = 13                  # exercises one full fused flush
-    bench_batches = 36                 # three flushes
+    flush_batches = 16                 # ~65.4M windows/flush: fills the
+    #                                    sort kernel's 2^26 pow2 geometry
+    #                                    to 97.5% (12 batches padded 27%
+    #                                    of the sort with sentinels)
+    warm_batches = 17                  # exercises one full fused flush
+    bench_batches = 48                 # three flushes
 
     rng = np.random.default_rng(42)
     genome = rng.integers(0, 4, size=genome_len + length, dtype=np.uint8)

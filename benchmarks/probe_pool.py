@@ -35,14 +35,15 @@ def main():
     _ = int(np.asarray(noop(hi))[0])
     t_noop = time.time() - t0
 
-    srt = jax.jit(lambda a, b: jax.lax.sort((a, b), num_keys=2))
-    out = srt(hi, lo)
-    _ = int(np.asarray(out[0])[0])
+    # fetch a SLICE, not the array: np.asarray(out[0]) would pull the
+    # whole 64MB over the tunnel and dominate the timing (weeks of
+    # "degraded pool" confusion came from exactly that)
+    srt = jax.jit(lambda a, b: jax.lax.sort((a, b), num_keys=2)[0][:8])
+    _ = int(np.asarray(srt(hi, lo))[0])
     ts = []
     for _i in range(2):
         t0 = time.time()
-        out = srt(hi, lo)
-        _ = int(np.asarray(out[0])[0])
+        _ = int(np.asarray(srt(hi, lo))[0])
         ts.append(time.time() - t0)
     t_sort = min(ts)
 

@@ -20,6 +20,9 @@ from kat_tpu.ops.sort_kernel import bitonic_sort_planes  # noqa: E402
 
 
 def timed(fn, args, label, n, reps=3):
+    """fn must return small/sliced outputs: fetching a full result array
+    over the dev tunnel costs SECONDS at 64MB and silently dominates the
+    timing (the 'degraded pool' saga — sync via an 8-element slice)."""
     t0 = time.time()
     out = fn(*args)
     _ = int(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
@@ -61,22 +64,26 @@ def main():
     first = True
     for lg in lgs:
         n = 1 << lg
+        # timing variants return an 8-elt slice (cheap tunnel sync);
+        # equality is checked on-device, fetched as one scalar
         ks = jax.jit(lambda a, b, n=n: bitonic_sort_planes(
-            (a[:n], b[:n]), 2, block_rows=br))
-        out, _ = timed(ks, (hi, lo), f"kernel sort 2^{lg} br={br}", n)
+            (a[:n], b[:n]), 2, block_rows=br)[0][-8:])
+        _, _ = timed(ks, (hi, lo), f"kernel sort 2^{lg} br={br}", n)
         if first:
-            ref = jax.jit(lambda a, b, n=n: jax.lax.sort(
-                (a[:n], b[:n]), num_keys=2))(hi, lo)
-            ok = (np.array_equal(np.asarray(out[0]), np.asarray(ref[0]))
-                  and np.array_equal(np.asarray(out[1]),
-                                     np.asarray(ref[1])))
+            @jax.jit
+            def check(a, b, n=n):
+                ko = bitonic_sort_planes((a[:n], b[:n]), 2, block_rows=br)
+                ro = jax.lax.sort((a[:n], b[:n]), num_keys=2)
+                eq = jnp.all(ko[0] == ro[0]) & jnp.all(ko[1] == ro[1])
+                return eq[None]
+            ok = bool(np.asarray(check(hi, lo))[0])
             print(f"  correctness vs lax.sort: {'OK' if ok else 'FAIL'}",
                   flush=True)
             if not ok:
                 return
             first = False
         ls = jax.jit(lambda a, b, n=n: jax.lax.sort(
-            (a[:n], b[:n]), num_keys=2))
+            (a[:n], b[:n]), num_keys=2)[0][-8:])
         timed(ls, (hi, lo), f"lax.sort 2-op 2^{lg}", n)
 
 

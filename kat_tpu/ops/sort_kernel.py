@@ -69,77 +69,58 @@ def _xor(a, b):
     return (a & ~b) | (~a & b)
 
 
+def _cmpx_roll(planes, s, axis, size, idx, n_key_words, dm, br):
+    """XOR-partner compare-exchange at stride s along `axis` (roll-based;
+    the reshape/interleave formulation lowers to costlier relayouts).
+
+    The pair decision is computed ONCE from the +s neighbour and rolled
+    to the high slots — saving a second full lexicographic compare.
+    dm: [br, LANES] descending-direction mask (already aligned)."""
+    is_low = (idx & s) == 0
+    fwd = [pltpu.roll(p, size - s, axis=axis) for p in planes]  # x[i+s]
+    bwd = [pltpu.roll(p, s, axis=axis) for p in planes]         # x[i-s]
+    # d[i] (valid at low slots): x[i+s] < x[i]
+    d = _lex_less(fwd[:n_key_words], planes[:n_key_words])
+    di = jnp.where(d, jnp.int32(1), jnp.int32(0))
+    take = jnp.where(is_low, di, pltpu.roll(di, s, axis=axis)) != 0
+    take = _xor(take, dm)
+    partners = [jnp.where(is_low, f, b) for f, b in zip(fwd, bwd)]
+    return [jnp.where(take, pv, x) for pv, x in zip(partners, planes)]
+
+
 def _round_dyn_q(planes, q, r, n_key_words, br, fi_global):
     """One compare-exchange round at STATIC stride 2^r: ascending where
     bit q of the global element index is 0, with q a TRACED scalar.
 
-    Static strides keep the Mosaic lowering to constant rolls / reshapes
-    (a fully dynamic-stride formulation blows up the compiler); the
-    direction mask is an elementwise shift of the global flat iota by the
-    traced q, which lowers fine.  fi_global: [br, LANES] int32 global
-    element indices of this block (n <= 2^31)."""
+    Static strides keep the Mosaic lowering to constant rolls (a fully
+    dynamic-stride formulation blows up the compiler); the direction mask
+    is an elementwise shift of the global flat iota by the traced q,
+    which lowers fine.  fi_global: [br, LANES] int32 global element
+    indices of this block (n <= 2^31)."""
     dm = ((fi_global >> q) & 1) != 0
     if r < 7:
-        s = 1 << r
         lane = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 1)
-        is_low = (lane & s) == 0
-        partners = [
-            jnp.where(is_low, pltpu.roll(p, LANES - s, axis=1),
-                      pltpu.roll(p, s, axis=1))
-            for p in planes]
-        take = ((is_low & _lex_less(partners[:n_key_words],
-                                    planes[:n_key_words]))
-                | (~is_low & _lex_less(planes[:n_key_words],
-                                       partners[:n_key_words])))
-        take = _xor(take, dm)
-        return [jnp.where(take, pv, x)
-                for pv, x in zip(partners, planes)]
-    sr = 1 << (r - 7)
-    shaped = [p.reshape(-1, 2, sr, LANES) for p in planes]
-    top = [p[:, 0] for p in shaped]
-    bot = [p[:, 1] for p in shaped]
-    swap = _lex_less(bot[:n_key_words], top[:n_key_words])
-    swap = _xor(swap, dm.reshape(-1, 2, sr, LANES)[:, 0])
-    lo = [jnp.where(swap, b, a) for a, b in zip(top, bot)]
-    hi = [jnp.where(swap, a, b) for a, b in zip(top, bot)]
-    return [
-        jnp.concatenate([a[:, None], b[:, None]], axis=1).reshape(br, LANES)
-        for a, b in zip(lo, hi)]
+        return _cmpx_roll(planes, 1 << r, 1, LANES, lane, n_key_words,
+                          dm, br)
+    row = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 0)
+    return _cmpx_roll(planes, 1 << (r - 7), 0, br, row, n_key_words,
+                      dm, br)
 
 
 def _intra_tail(planes, n_key_words, br, desc):
     """Bitonic merge tail (strides bs/2..1) with uniform traced direction
-    `desc`, static unrolled (mirrors merge_kernel._intra_block)."""
+    `desc`, static unrolled, all rounds roll-based."""
     dm = jnp.full((br, LANES), desc)
+    row = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 0)
     sr = br // 2
     while sr >= 1:
-        shaped = [p.reshape(-1, 2, sr, LANES) for p in planes]
-        top = [p[:, 0] for p in shaped]
-        bot = [p[:, 1] for p in shaped]
-        swap = _lex_less(bot[:n_key_words], top[:n_key_words])
-        swap = _xor(swap, dm.reshape(-1, 2, sr, LANES)[:, 0])
-        lo = [jnp.where(swap, b, a) for a, b in zip(top, bot)]
-        hi = [jnp.where(swap, a, b) for a, b in zip(top, bot)]
-        planes = [
-            jnp.concatenate([a[:, None], b[:, None]], axis=1).reshape(
-                br, LANES)
-            for a, b in zip(lo, hi)]
+        planes = _cmpx_roll(planes, sr, 0, br, row, n_key_words, dm, br)
         sr //= 2
     lane = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 1)
     s = LANES // 2
     while s >= 1:
-        is_low = (lane & s) == 0
-        partners = [
-            jnp.where(is_low, pltpu.roll(p, LANES - s, axis=1),
-                      pltpu.roll(p, s, axis=1))
-            for p in planes]
-        pk = partners[:n_key_words]
-        xk = planes[:n_key_words]
-        take = ((is_low & _lex_less(pk, xk))
-                | (~is_low & _lex_less(xk, pk)))
-        take = _xor(take, dm)
-        planes = [jnp.where(take, pv, x)
-                  for pv, x in zip(partners, planes)]
+        planes = _cmpx_roll(planes, s, 1, LANES, lane, n_key_words, dm,
+                            br)
         s //= 2
     return planes
 
