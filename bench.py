@@ -58,33 +58,34 @@ def main() -> None:
         k, canonical=True, initial_capacity=table_cap,
         max_capacity=1 << 26, flush_batches=flush_batches)
 
-    t_warm0 = time.perf_counter()
     for i in range(warm_batches):
         sc.add_codes(batches[i % 4])
     sc._flush()
     _ = int(sc.table.n_unique)  # force pending device work to complete
-    t_warm = time.perf_counter() - t_warm0
 
-    # Best of three measurement windows: the dev-tunnel chip pool can be
-    # transiently degraded right after a grant handoff.  If the warm pass
-    # itself ran >60s of pure device time the pool is badly degraded
-    # (healthy is <5s even including compiles' first dispatches) — shrink
-    # to one window so the bench still completes and reports rather than
-    # blowing the driver's time budget; best-of cannot fix a wedged pool.
-    reps, nb_run = (3, bench_batches) if t_warm < 60 else (1, flush_batches)
-    best_dt = float("inf")
-    for _rep in range(reps):
+    def window() -> float:
         t0 = time.perf_counter()
-        for i in range(nb_run):
+        for i in range(bench_batches):
             sc.add_codes(batches[i % 4])
         sc._flush()
         _ = int(sc.table.n_unique)  # device sync (block_until_ready is
         #                             unreliable over the remote tunnel)
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        return time.perf_counter() - t0
 
-    kmers_per_s = nb_run * windows / best_dt
+    # Best of three measurement windows; but if the FIRST (fully warm,
+    # compile-free) window runs below 30M kmers/s the chip pool is
+    # degraded ~an order of magnitude — report that single window rather
+    # than blowing the driver's time budget on repeats that cannot fix a
+    # wedged pool.
+    best_dt = window()
+    degraded = bench_batches * windows / best_dt < 30e6
+    if not degraded:
+        for _rep in range(2):
+            best_dt = min(best_dt, window())
 
-    ingest = _ingest_bench() if t_warm < 60 else {
+    kmers_per_s = bench_batches * windows / best_dt
+
+    ingest = _ingest_bench() if not degraded else {
         "ingest_skipped": "degraded chip pool"}
 
     print(json.dumps({

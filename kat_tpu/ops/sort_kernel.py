@@ -12,27 +12,28 @@ read+write passes of 8 bytes/plane/elt — far under lax.sort's cost even
 before overlap.
 
 Structure (direction-aware generalization of ops/merge_kernel.py, which
-is the ascending special case of the final phase) — TWO kernels total:
+is the ascending special case of the final phase) — one window kernel
+in three scalar-selected modes:
 
-  1. window kernel, grid (nb/W,): W contiguous blocks in VMEM.  With
-     do_build set it first runs every run-building round (phases 1..B)
+  1. build pass (S=1, do_build): all run-building rounds (phases 1..B)
      on each block — a fori_loop over the phase q emits the B static-
      stride round bodies ONCE, gated on `r < q` — then phases
-     B+1..B+log2(W) entirely in-window (cross stages as fori_loops over
-     block pairs + intra tails).  The whole build therefore costs ONE
-     HBM read+write pass.
-  2. per later phase p: cross-block stages at block strides >= W through
-     the shared cross kernel (grid (nb/2,); ps and stride are SMEM
-     scalars, so one binary serves every stage of every phase), then one
-     window pass for the remaining strides + tails.
+     B+1..B+log2(W) entirely in-window.  The whole build costs ONE HBM
+     read+write pass.
+  2. strided cross passes (S>1): the window holds blocks S apart, so one
+     pass executes the log2(W) cross stages with block strides
+     S*W/2..S of a later phase.
+  3. tail pass (S=1): a phase's last strides W/2..1 + every intra-block
+     merge tail.
 
-Total: 1 + sum over the last log2(nb/W) phases of (ps - log2 W + 1)
-full HBM read+write passes — O(log^2 n / log W) instead of the textbook
-one-pass-per-round O(log^2 n) — while the traced-phase gating keeps the
-per-kernel unroll at the block size the remote Mosaic toolchain is known
-to handle (monolithic 4096-row kernels and 136-round static unrolls both
-OOM it).  Directions are everywhere computed from bits of the global
-element index, so block/phase boundaries need no special cases.
+One compiled binary (mode arrives as SMEM scalars), ~O(log^2 n /
+log^2 W) full HBM read+write passes instead of the textbook
+one-pass-per-round O(log^2 n), while traced-phase gating keeps the
+per-kernel unroll at the block size the remote Mosaic toolchain is
+known to handle (monolithic 4096-row kernels and 136-round static
+unrolls both OOM it).  Directions are everywhere computed from bits of
+the global element index, so block/phase/stride boundaries need no
+special cases.
 
 Everything is in place via input_output_aliasing; VMEM per grid step is
 bounded by the window (~8MB).
@@ -125,80 +126,34 @@ def _intra_tail(planes, n_key_words, br, desc):
     return planes
 
 
-def _cross_kernel(*refs, n_planes: int, n_key_words: int, br: int):
-    """One cross-block compare-exchange stage: grid (nb // 2,).
-
-    The phase number ps and block stride sb arrive as SMEM scalars so ONE
-    compiled binary serves every stage of every phase (compile time over
-    the remote-TPU toolchain is the scarce resource here).  Each call
-    reads hbm_in and writes hbm_out exactly once per block, so it is
-    correct with or without buffer aliasing.
-    """
-    hbm_in = refs[:n_planes]
-    scal = refs[n_planes]
-    hbm_out = refs[n_planes + 1:2 * n_planes + 1]
-    out_dummy = refs[2 * n_planes + 1]
-    vmem, sem_in, sem_out = refs[2 * n_planes + 2:]
-
-    j = pl.program_id(0)
-    ps = scal[0, 0]
-    sb = scal[0, 1]
-    b1 = ((j & ~(sb - 1)) << 1) | (j & (sb - 1))
-    b2 = b1 + sb
-    desc = ((b1 >> ps) & 1) != 0
-
-    cps = [pltpu.make_async_copy(
-        hbm_in[p].at[pl.ds(blk * br, br), :],
-        vmem.at[p, i], sem_in.at[i * n_planes + p])
-        for i, blk in ((0, b1), (1, b2)) for p in range(n_planes)]
-    for cp in cps:
-        cp.start()
-    for cp in cps:
-        cp.wait()
-
-    v1 = [vmem[p, 0] for p in range(n_planes)]
-    v2 = [vmem[p, 1] for p in range(n_planes)]
-    lo, hi = _cmpx_blocks(v1, v2, n_key_words)
-    dm = jnp.full((br, LANES), desc)
-    for p in range(n_planes):
-        # desc: max to the low block, min to the high block
-        vmem[p, 0] = jnp.where(dm, hi[p], lo[p])
-        vmem[p, 1] = jnp.where(dm, lo[p], hi[p])
-
-    cps = [pltpu.make_async_copy(
-        vmem.at[p, i],
-        hbm_out[p].at[pl.ds(blk * br, br), :],
-        sem_out.at[i * n_planes + p])
-        for i, blk in ((0, b1), (1, b2)) for p in range(n_planes)]
-    for cp in cps:
-        cp.start()
-    for cp in cps:
-        cp.wait()
-    out_dummy[0, 0] = jnp.int32(0)
-
-
 def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
                    W: int):
     """Run a RANGE of bitonic work inside a W-block VMEM window: grid
     (nb // W,).
 
-    One binary, three SMEM scalars [do_build, ps_lo, ps_hi]:
+    One binary, four SMEM scalars [do_build, ps_lo, ps_hi, S].  Window j
+    holds the W blocks {(j//S)*S*W + (j%S) + w*S : w < W} — CONTIGUOUS
+    blocks when S == 1, a strided spread otherwise.
 
-      do_build != 0: first run every run-building round (phases q=1..B,
-        strides 2^(q-1)..1) on each block — a fori_loop over q whose body
-        emits the B static-stride rounds once, each gated on `r < q`, so
-        the executed schedule is exact while the compiled code stays at
-        ~B round bodies (the fully unrolled 136-round formulation OOMs
-        the remote Mosaic toolchain).
-      then phases ps = ps_lo..ps_hi: cross-block stages (static strides
-        W/2..1 gated on `stride < 2^ps`) as fori_loops over block pairs,
-        then the intra-block merge tails.
+      S == 1: with do_build set, first run every run-building round
+        (phases q=1..B, strides 2^(q-1)..1) on each block — a fori_loop
+        over q emits the B static-stride round bodies once, gated on
+        `r < q`, keeping the compiled size at ~B rounds (full 136-round
+        unrolls OOM the remote Mosaic toolchain).  Then phases
+        ps_lo..ps_hi: cross-block stages (strides W/2..1 gated on
+        `stride < 2^ps`) + the intra-block merge tails.
+      S > 1 (ps_lo == ps_hi == ps): one GROUP of phase-ps cross stages —
+        window-local stride s is global block stride S*s, so one HBM
+        pass executes the log2(W) stages with strides S*W/2 .. S (gated
+        to [W, 2^(ps-1)]; strides < W belong to the final S == 1 pass).
+        No build, no tail.
 
-    A full sort's build + first log2(W) phases therefore collapse into
-    ONE HBM read+write pass, and each later phase's last log2(W) strides
-    + tails into one more.  Directions are uniform in the global element
-    index (bit q / bit p), so block parity and phase boundaries need no
-    special cases.
+    A full sort is then: 1 build+local pass, and per later phase
+    ceil((ps - log2 W)/log2 W) strided passes + 1 tail pass — the
+    strided grouping is what turns the former one-pass-per-cross-stage
+    schedule into O(log^2 n / log^2 W) passes.  Directions are uniform
+    in the global element index (bit q / bit p), so block/phase/stride
+    boundaries need no special cases.
     """
     hbm_in = refs[:n_planes]
     scal = refs[n_planes]
@@ -210,17 +165,38 @@ def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
     do_build = scal[0, 0]
     ps_lo = scal[0, 1]
     ps_hi = scal[0, 2]
-    base = j * W
+    S = scal[0, 3]
     rows = W * br
     bB = int(np.log2(br * LANES))
 
-    cps = [pltpu.make_async_copy(
-        hbm_in[p].at[pl.ds(j * rows, rows), :], vmem.at[p], sem_in.at[p])
-        for p in range(n_planes)]
-    for cp in cps:
-        cp.start()
-    for cp in cps:
-        cp.wait()
+    # first block of this window, in global block ids (reduces to j*W
+    # when S == 1; lax.div/rem avoid jnp's int64-promoting sign logic)
+    wb = jax.lax.div(j, S) * (S * W) + jax.lax.rem(j, S)
+
+    def blk_id(w):
+        return wb + w * S
+
+    @pl.when(S == 1)
+    def _load_contig():
+        cps = [pltpu.make_async_copy(
+            hbm_in[p].at[pl.ds(wb * br, rows), :], vmem.at[p],
+            sem_in.at[p]) for p in range(n_planes)]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
+    @pl.when(S != 1)
+    def _load_strided():
+        cps = [pltpu.make_async_copy(
+            hbm_in[p].at[pl.ds(blk_id(w) * br, br), :],
+            vmem.at[p, pl.ds(w * br, br), :],
+            sem_in.at[w * n_planes + p])
+            for w in range(W) for p in range(n_planes)]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
 
     def blk(p, w):
         return vmem[p, pl.ds(w * br, br), :]
@@ -235,7 +211,7 @@ def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
     def _build():
         def per_q(q, carry):
             def per_block(w, c2):
-                fi_global = (base + w) * (br * LANES) + fi_local
+                fi_global = blk_id(w) * (br * LANES) + fi_local
                 for r in range(bB - 1, -1, -1):
                     @pl.when(r < q)
                     def _round(r=r):
@@ -254,12 +230,14 @@ def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
     def per_phase(ps, carry):
         s = W // 2
         while s >= 1:
-            @pl.when(jnp.int32(s) < (jnp.int32(1) << ps))
+            gs = S * s  # global block stride of this stage
+            @pl.when((gs < (jnp.int32(1) << ps))
+                     & ((S == 1) | (gs >= W)))
             def _stage(s=s):
                 def body(i, c2):
                     w1 = ((i & ~(s - 1)) << 1) | (i & (s - 1))
                     w2 = w1 + s
-                    desc = (((base + w1) >> ps) & 1) != 0
+                    desc = ((blk_id(w1) >> ps) & 1) != 0
                     v1 = [blk(p, w1) for p in range(n_planes)]
                     v2 = [blk(p, w2) for p in range(n_planes)]
                     lo, hi = _cmpx_blocks(v1, v2, n_key_words)
@@ -272,34 +250,52 @@ def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
                 jax.lax.fori_loop(0, W // 2, body, jnp.int32(0))
             s //= 2
 
-        def tail(w, c2):
-            desc = (((base + w) >> ps) & 1) != 0
-            planes = [blk(p, w) for p in range(n_planes)]
-            planes = _intra_tail(planes, n_key_words, br, desc)
-            for p in range(n_planes):
-                set_blk(p, w, planes[p])
-            return c2
+        @pl.when(S == 1)
+        def _tails():
+            def tail(w, c2):
+                desc = ((blk_id(w) >> ps) & 1) != 0
+                planes = [blk(p, w) for p in range(n_planes)]
+                planes = _intra_tail(planes, n_key_words, br, desc)
+                for p in range(n_planes):
+                    set_blk(p, w, planes[p])
+                return c2
 
-        jax.lax.fori_loop(0, W, tail, jnp.int32(0))
+            jax.lax.fori_loop(0, W, tail, jnp.int32(0))
         return carry
 
     jax.lax.fori_loop(ps_lo, ps_hi + 1, per_phase, jnp.int32(0))
 
-    cps = [pltpu.make_async_copy(
-        vmem.at[p], hbm_out[p].at[pl.ds(j * rows, rows), :], sem_out.at[p])
-        for p in range(n_planes)]
-    for cp in cps:
-        cp.start()
-    for cp in cps:
-        cp.wait()
+    @pl.when(S == 1)
+    def _store_contig():
+        cps = [pltpu.make_async_copy(
+            vmem.at[p], hbm_out[p].at[pl.ds(wb * br, rows), :],
+            sem_out.at[p]) for p in range(n_planes)]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
+    @pl.when(S != 1)
+    def _store_strided():
+        cps = [pltpu.make_async_copy(
+            vmem.at[p, pl.ds(w * br, br), :],
+            hbm_out[p].at[pl.ds(blk_id(w) * br, br), :],
+            sem_out.at[w * n_planes + p])
+            for w in range(W) for p in range(n_planes)]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
     out_dummy[0, 0] = jnp.int32(0)
 
 
 def _inplace_call(kernel, grid, n_planes, n, br, vmem_shape, interpret,
-                  n_scalars=0):
+                  n_scalars=0, n_sems=None):
     """pallas_call wrapper: n_planes aliased HBM planes (+ optional SMEM
     scalar input right after them), SMEM marker output, given VMEM
     scratch."""
+    if n_sems is None:
+        n_sems = 2 * n_planes
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -317,8 +313,8 @@ def _inplace_call(kernel, grid, n_planes, n, br, vmem_shape, interpret,
         input_output_aliases={p: p for p in range(n_planes)},
         scratch_shapes=[
             pltpu.VMEM(vmem_shape, jnp.uint32),
-            pltpu.SemaphoreType.DMA((2 * n_planes,)),
-            pltpu.SemaphoreType.DMA((2 * n_planes,)),
+            pltpu.SemaphoreType.DMA((n_sems,)),
+            pltpu.SemaphoreType.DMA((n_sems,)),
         ],
         interpret=interpret,
     )
@@ -358,17 +354,16 @@ def bitonic_sort_planes(planes, n_key_words: int, block_rows: int = 512,
 
     W = _pick_window(n_planes, br, nb)
     mW = int(np.log2(W))
-    cross = functools.partial(
-        _cross_kernel, n_planes=n_planes, n_key_words=n_key_words, br=br)
     window = functools.partial(
         _window_kernel, n_planes=n_planes, n_key_words=n_key_words,
         br=br, W=W)
 
-    def window_call(arrs, do_build, ps_lo, ps_hi):
-        scal = jnp.array([[do_build, ps_lo, ps_hi]], jnp.int32)
+    def window_call(arrs, do_build, ps_lo, ps_hi, S=1):
+        scal = jnp.array([[do_build, ps_lo, ps_hi, S]], jnp.int32)
         outs = _inplace_call(
             window, (nb // W,), n_planes, n, br,
-            (n_planes, W * br, LANES), interpret, n_scalars=1)(*arrs, scal)
+            (n_planes, W * br, LANES), interpret, n_scalars=1,
+            n_sems=W * n_planes)(*arrs, scal)
         return list(outs[:n_planes])
 
     arrs = [p.reshape(-1, LANES) for p in planes]
@@ -379,18 +374,15 @@ def bitonic_sort_planes(planes, n_key_words: int, block_rows: int = 512,
         arrs = window_call(arrs, 1, 1, local_hi)
         for p in range(bB + local_hi + 1, pP + 1):
             ps = p - bB
-            # cross stages at block strides >= W run as paired-block
-            # passes; the window pass finishes strides < W + the tails.
-            sb = 1 << (ps - 1)
-            while sb >= W:
-                scal = jnp.array([[ps, sb]], jnp.int32)
-                outs = _inplace_call(
-                    cross, (nb // 2,), n_planes, n, br,
-                    (n_planes, 2, br, LANES), interpret,
-                    n_scalars=1)(*arrs, scal)
-                arrs = list(outs[:n_planes])
-                sb //= 2
-            arrs = window_call(arrs, 0, ps, ps)
+            # strided window passes run log2(W) cross stages each (block
+            # strides T..max(2T/W, W)); the final S=1 pass finishes
+            # strides W/2..1 + the tails.
+            T = 1 << (ps - 1)
+            while T >= W:
+                S = max(2, (2 * T) // W)
+                arrs = window_call(arrs, 0, ps, ps, S)
+                T = S // 2
+            arrs = window_call(arrs, 0, ps, ps, 1)
     return tuple(a.reshape(-1) for a in arrs)
 
 
@@ -418,29 +410,26 @@ def bitonic_final_phase(planes, n_key_words: int, block_rows: int = 512,
     ps = int(np.log2(nb))
 
     W = _pick_window(n_planes, br, nb)
-    cross = functools.partial(
-        _cross_kernel, n_planes=n_planes, n_key_words=n_key_words, br=br)
     window = functools.partial(
         _window_kernel, n_planes=n_planes, n_key_words=n_key_words,
         br=br, W=W)
 
-    arrs = [p.reshape(-1, LANES) for p in planes]
-    with jax.enable_x64(False):
-        sb = nb // 2
-        while sb >= W:
-            scal = jnp.array([[ps, sb]], jnp.int32)
-            outs = _inplace_call(
-                cross, (nb // 2,), n_planes, n, br,
-                (n_planes, 2, br, LANES), interpret,
-                n_scalars=1)(*arrs, scal)
-            arrs = list(outs[:n_planes])
-            sb //= 2
-        scal = jnp.array([[0, ps, ps]], jnp.int32)
+    def window_call(arrs, ps_, S):
+        scal = jnp.array([[0, ps_, ps_, S]], jnp.int32)
         outs = _inplace_call(
             window, (nb // W,), n_planes, n, br,
-            (n_planes, W * br, LANES), interpret,
-            n_scalars=1)(*arrs, scal)
-        arrs = list(outs[:n_planes])
+            (n_planes, W * br, LANES), interpret, n_scalars=1,
+            n_sems=W * n_planes)(*arrs, scal)
+        return list(outs[:n_planes])
+
+    arrs = [p.reshape(-1, LANES) for p in planes]
+    with jax.enable_x64(False):
+        T = 1 << (ps - 1)
+        while T >= W:
+            S = max(2, (2 * T) // W)
+            arrs = window_call(arrs, ps, S)
+            T = S // 2
+        arrs = window_call(arrs, ps, 1)
     return tuple(a.reshape(-1) for a in arrs)
 
 
