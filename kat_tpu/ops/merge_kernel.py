@@ -73,20 +73,34 @@ def bitonic_merge_planes(planes, n_key_words: int, block_rows: int = 512,
 def merge_sorted_kernel(a_words, a_payload, b_words, b_payload,
                         block_rows: int = 512, interpret: bool = False):
     """Kernel-backed drop-in for ops.merge.merge_sorted: merge two sorted
-    sentinel-padded streams; returns (words, payload) of pow2 length."""
+    sentinel-padded streams; returns (words, payload) padded to a block
+    multiple (NOT a power of two — the final-phase kernel's virtual
+    +inf blocks make non-pow2 bitonic merges legal, so table+windows
+    merges stop paying for up-to-2x pow2 padding).
+
+    Layout [reversed(b) | a | pad]: descending-then-ascending is bitonic
+    and APPENDING sentinels keeps it so (the [a | reversed(b)] layout
+    would not survive end-padding)."""
+    from .sort_kernel import bitonic_final_phase
+
     n_words = len(a_words)
     na, nb_len = a_words[0].shape[0], b_words[0].shape[0]
-    n = 1 << int(np.ceil(np.log2(max(na + nb_len, 2))))
-    n = max(n, 16 * LANES)  # >= two 8-row blocks
-    pad_b = n - na - nb_len
+    br = block_rows
+    total = na + nb_len
+    while br > 8 and total < 2 * br * LANES:
+        br //= 2
+    bs = br * LANES
+    n = max(2 * bs, ((total + bs - 1) // bs) * bs)
+    pad = n - total
     planes = []
     for i, (a, b) in enumerate(zip(list(a_words) + list(a_payload),
                                    list(b_words) + list(b_payload))):
         fill = SENTINEL if i < n_words else 0
-        bp = jnp.concatenate(
-            [b, jnp.full((pad_b,), fill, b.dtype)]) if pad_b else b
-        planes.append(jnp.concatenate([a, bp[::-1]]))
-    outs = bitonic_merge_planes(tuple(planes), n_words,
-                                block_rows=block_rows,
-                                interpret=interpret)
+        parts = [b[::-1], a]
+        if pad:
+            parts.append(jnp.full((pad,), fill, a.dtype))
+        planes.append(jnp.concatenate(parts))
+    outs = bitonic_final_phase(tuple(planes), n_words,
+                               block_rows=block_rows,
+                               interpret=interpret)
     return outs[:n_words], outs[n_words:]

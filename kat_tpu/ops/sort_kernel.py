@@ -166,6 +166,12 @@ def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
     ps_lo = scal[0, 1]
     ps_hi = scal[0, 2]
     S = scal[0, 3]
+    nbr = scal[0, 4]  # real block count; blocks >= nbr are VIRTUAL
+    #                   (conceptual +inf sentinel blocks that make a
+    #                   non-pow2 length bitonic: pairs touching them are
+    #                   no-ops and are skipped, and they have no backing
+    #                   memory, so every DMA / stage / tail is gated on
+    #                   blk_id < nbr)
     rows = W * br
     bB = int(np.log2(br * LANES))
 
@@ -176,7 +182,7 @@ def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
     def blk_id(w):
         return wb + w * S
 
-    @pl.when(S == 1)
+    @pl.when((S == 1) & (wb + W <= nbr))
     def _load_contig():
         cps = [pltpu.make_async_copy(
             hbm_in[p].at[pl.ds(wb * br, rows), :], vmem.at[p],
@@ -186,17 +192,20 @@ def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
         for cp in cps:
             cp.wait()
 
-    @pl.when(S != 1)
+    @pl.when((S != 1) | (wb + W > nbr))
     def _load_strided():
-        cps = [pltpu.make_async_copy(
-            hbm_in[p].at[pl.ds(blk_id(w) * br, br), :],
-            vmem.at[p, pl.ds(w * br, br), :],
-            sem_in.at[w * n_planes + p])
-            for w in range(W) for p in range(n_planes)]
-        for cp in cps:
-            cp.start()
-        for cp in cps:
-            cp.wait()
+        for w in range(W):
+            @pl.when(blk_id(w) < nbr)
+            def _ld(w=w):
+                cps = [pltpu.make_async_copy(
+                    hbm_in[p].at[pl.ds(blk_id(w) * br, br), :],
+                    vmem.at[p, pl.ds(w * br, br), :],
+                    sem_in.at[w * n_planes + p])
+                    for p in range(n_planes)]
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
 
     def blk(p, w):
         return vmem[p, pl.ds(w * br, br), :]
@@ -237,14 +246,17 @@ def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
                 def body(i, c2):
                     w1 = ((i & ~(s - 1)) << 1) | (i & (s - 1))
                     w2 = w1 + s
-                    desc = ((blk_id(w1) >> ps) & 1) != 0
-                    v1 = [blk(p, w1) for p in range(n_planes)]
-                    v2 = [blk(p, w2) for p in range(n_planes)]
-                    lo, hi = _cmpx_blocks(v1, v2, n_key_words)
-                    dm = jnp.full((br, LANES), desc)
-                    for p in range(n_planes):
-                        set_blk(p, w1, jnp.where(dm, hi[p], lo[p]))
-                        set_blk(p, w2, jnp.where(dm, lo[p], hi[p]))
+
+                    @pl.when(blk_id(w2) < nbr)
+                    def _pair():
+                        desc = ((blk_id(w1) >> ps) & 1) != 0
+                        v1 = [blk(p, w1) for p in range(n_planes)]
+                        v2 = [blk(p, w2) for p in range(n_planes)]
+                        lo, hi = _cmpx_blocks(v1, v2, n_key_words)
+                        dm = jnp.full((br, LANES), desc)
+                        for p in range(n_planes):
+                            set_blk(p, w1, jnp.where(dm, hi[p], lo[p]))
+                            set_blk(p, w2, jnp.where(dm, lo[p], hi[p]))
                     return c2
 
                 jax.lax.fori_loop(0, W // 2, body, jnp.int32(0))
@@ -253,11 +265,13 @@ def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
         @pl.when(S == 1)
         def _tails():
             def tail(w, c2):
-                desc = ((blk_id(w) >> ps) & 1) != 0
-                planes = [blk(p, w) for p in range(n_planes)]
-                planes = _intra_tail(planes, n_key_words, br, desc)
-                for p in range(n_planes):
-                    set_blk(p, w, planes[p])
+                @pl.when(blk_id(w) < nbr)
+                def _t():
+                    desc = ((blk_id(w) >> ps) & 1) != 0
+                    planes = [blk(p, w) for p in range(n_planes)]
+                    planes = _intra_tail(planes, n_key_words, br, desc)
+                    for p in range(n_planes):
+                        set_blk(p, w, planes[p])
                 return c2
 
             jax.lax.fori_loop(0, W, tail, jnp.int32(0))
@@ -265,7 +279,7 @@ def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
 
     jax.lax.fori_loop(ps_lo, ps_hi + 1, per_phase, jnp.int32(0))
 
-    @pl.when(S == 1)
+    @pl.when((S == 1) & (wb + W <= nbr))
     def _store_contig():
         cps = [pltpu.make_async_copy(
             vmem.at[p], hbm_out[p].at[pl.ds(wb * br, rows), :],
@@ -275,17 +289,20 @@ def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
         for cp in cps:
             cp.wait()
 
-    @pl.when(S != 1)
+    @pl.when((S != 1) | (wb + W > nbr))
     def _store_strided():
-        cps = [pltpu.make_async_copy(
-            vmem.at[p, pl.ds(w * br, br), :],
-            hbm_out[p].at[pl.ds(blk_id(w) * br, br), :],
-            sem_out.at[w * n_planes + p])
-            for w in range(W) for p in range(n_planes)]
-        for cp in cps:
-            cp.start()
-        for cp in cps:
-            cp.wait()
+        for w in range(W):
+            @pl.when(blk_id(w) < nbr)
+            def _st(w=w):
+                cps = [pltpu.make_async_copy(
+                    vmem.at[p, pl.ds(w * br, br), :],
+                    hbm_out[p].at[pl.ds(blk_id(w) * br, br), :],
+                    sem_out.at[w * n_planes + p])
+                    for p in range(n_planes)]
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
     out_dummy[0, 0] = jnp.int32(0)
 
 
@@ -321,8 +338,9 @@ def _inplace_call(kernel, grid, n_planes, n, br, vmem_shape, interpret,
 
 
 def _pick_window(n_planes: int, br: int, nb: int) -> int:
-    """Largest pow2 window (blocks) with the VMEM scratch under ~8MB."""
-    budget = 8 * 1024 * 1024
+    """Largest pow2 window (blocks) with the VMEM scratch under ~12MB
+    (v5e has ~16MB/core; the window is the kernel's only big buffer)."""
+    budget = 12 * 1024 * 1024
     w = 16
     while w > 2 and n_planes * w * br * LANES * 4 > budget:
         w //= 2
@@ -359,7 +377,7 @@ def bitonic_sort_planes(planes, n_key_words: int, block_rows: int = 512,
         br=br, W=W)
 
     def window_call(arrs, do_build, ps_lo, ps_hi, S=1):
-        scal = jnp.array([[do_build, ps_lo, ps_hi, S]], jnp.int32)
+        scal = jnp.array([[do_build, ps_lo, ps_hi, S, nb]], jnp.int32)
         outs = _inplace_call(
             window, (nb // W,), n_planes, n, br,
             (n_planes, W * br, LANES), interpret, n_scalars=1,
@@ -391,23 +409,29 @@ def bitonic_sort_planes(planes, n_key_words: int, block_rows: int = 512,
                                     "interpret"))
 def bitonic_final_phase(planes, n_key_words: int, block_rows: int = 512,
                         interpret: bool = False):
-    """Run ONLY the final bitonic phase (merge an [ascending | descending]
-    bitonic plane list into fully ascending order) through the shared
-    cross-stage + window kernels.  This is the merge-kernel operation
-    (ops/merge_kernel.bitonic_merge_planes delegates here): direction is
-    uniformly ascending because bit P of any index < 2^P is 0, and the
-    window pass collapses the last log2(W) block strides plus the
-    intra-block tails into one HBM pass."""
+    """Run ONLY the final bitonic phase (merge a bitonic plane list into
+    fully ascending order) through the window kernel.  This is the
+    merge-kernel operation (ops/merge_kernel.bitonic_merge_planes
+    delegates here).
+
+    The block count does NOT need to be a power of two: appending
+    virtual +inf blocks to a [descending | ascending] layout keeps it
+    bitonic, every compare-exchange touching a virtual block is provably
+    a no-op under ascending direction (min(x, inf) = x stays low), and
+    the kernel gates DMA/stages/tails on the real block count — so a
+    merge of table+windows costs passes over its REAL length, not the
+    next power of two (which padded up to ~2x).  Direction is uniformly
+    ascending because bit P of any index < 2^P is 0."""
     n_planes = len(planes)
     n = planes[0].shape[0]
     br = block_rows
     while br > 8 and n < 2 * br * LANES:
         br //= 2
     bs = br * LANES
-    if n % bs or (n // bs) & ((n // bs) - 1) or n // bs < 2:
-        raise ValueError(f"n={n} must be a pow2 multiple of 2*{bs}")
+    if n % bs or n // bs < 2:
+        raise ValueError(f"n={n} must be a multiple of {bs}, >= 2 blocks")
     nb = n // bs
-    ps = int(np.log2(nb))
+    ps = int(np.ceil(np.log2(nb)))
 
     W = _pick_window(n_planes, br, nb)
     window = functools.partial(
@@ -415,9 +439,13 @@ def bitonic_final_phase(planes, n_key_words: int, block_rows: int = 512,
         br=br, W=W)
 
     def window_call(arrs, ps_, S):
-        scal = jnp.array([[0, ps_, ps_, S]], jnp.int32)
+        if S == 1:
+            grid = ((nb + W - 1) // W,)
+        else:
+            grid = (((nb + S * W - 1) // (S * W)) * S,)
+        scal = jnp.array([[0, ps_, ps_, S, nb]], jnp.int32)
         outs = _inplace_call(
-            window, (nb // W,), n_planes, n, br,
+            window, grid, n_planes, n, br,
             (n_planes, W * br, LANES), interpret, n_scalars=1,
             n_sems=W * n_planes)(*arrs, scal)
         return list(outs[:n_planes])
