@@ -352,6 +352,13 @@ class CodeStreamingCounter:
         # pre-flush table at doubled capacity.
         self._unchecked = (self.table, stack, target_b, rows, length)
         self.table = CountTable(nhi, nlo, nc, n_unique)
+        # start the scalar's device->host trip now: by the time the
+        # deferred check reads it, the (slow, ~30ms over the dev tunnel)
+        # transfer has already overlapped with the next flush's work
+        try:
+            n_unique.copy_to_host_async()
+        except AttributeError:
+            pass
 
     def _check_overflow(self) -> None:
         if self._unchecked is None:

@@ -250,6 +250,10 @@ class WideCodeStreamingCounter:
         # rationale)
         self._unchecked = (self.table, stack, target_b, rows, length)
         self.table = WideTable(tuple(ws), cw, n_unique)
+        try:  # overlap the scalar's slow tunnel trip with the next flush
+            n_unique.copy_to_host_async()
+        except AttributeError:
+            pass
 
     def _check_overflow(self) -> None:
         if self._unchecked is None:

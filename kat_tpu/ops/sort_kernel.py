@@ -70,21 +70,23 @@ def _xor(a, b):
     return (a & ~b) | (~a & b)
 
 
-def _cmpx_roll(planes, s, axis, size, idx, n_key_words, dm, br):
+def _cmpx_roll(planes, s, axis, size, idx, n_key_words, dmi, br):
     """XOR-partner compare-exchange at stride s along `axis` (roll-based;
     the reshape/interleave formulation lowers to costlier relayouts).
 
     The pair decision is computed ONCE from the +s neighbour and rolled
     to the high slots — saving a second full lexicographic compare.
-    dm: [br, LANES] descending-direction mask (already aligned)."""
+    dmi: [br, LANES] int32 0/1 descending-direction mask; it is constant
+    across each compare pair (both elements share bit q), so folding it
+    into the integer decision BEFORE the roll (one int xor) replaces the
+    3-op i1 xor after it."""
     is_low = (idx & s) == 0
     fwd = [pltpu.roll(p, size - s, axis=axis) for p in planes]  # x[i+s]
     bwd = [pltpu.roll(p, s, axis=axis) for p in planes]         # x[i-s]
     # d[i] (valid at low slots): x[i+s] < x[i]
     d = _lex_less(fwd[:n_key_words], planes[:n_key_words])
-    di = jnp.where(d, jnp.int32(1), jnp.int32(0))
+    di = jnp.where(d, jnp.int32(1), jnp.int32(0)) ^ dmi
     take = jnp.where(is_low, di, pltpu.roll(di, s, axis=axis)) != 0
-    take = _xor(take, dm)
     partners = [jnp.where(is_low, f, b) for f, b in zip(fwd, bwd)]
     return [jnp.where(take, pv, x) for pv, x in zip(partners, planes)]
 
@@ -98,29 +100,30 @@ def _round_dyn_q(planes, q, r, n_key_words, br, fi_global):
     is an elementwise shift of the global flat iota by the traced q,
     which lowers fine.  fi_global: [br, LANES] int32 global element
     indices of this block (n <= 2^31)."""
-    dm = ((fi_global >> q) & 1) != 0
+    dmi = (fi_global >> q) & 1
     if r < 7:
         lane = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 1)
         return _cmpx_roll(planes, 1 << r, 1, LANES, lane, n_key_words,
-                          dm, br)
+                          dmi, br)
     row = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 0)
     return _cmpx_roll(planes, 1 << (r - 7), 0, br, row, n_key_words,
-                      dm, br)
+                      dmi, br)
 
 
 def _intra_tail(planes, n_key_words, br, desc):
     """Bitonic merge tail (strides bs/2..1) with uniform traced direction
     `desc`, static unrolled, all rounds roll-based."""
-    dm = jnp.full((br, LANES), desc)
+    dmi = jnp.full((br, LANES), jnp.where(desc, jnp.int32(1),
+                                          jnp.int32(0)))
     row = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 0)
     sr = br // 2
     while sr >= 1:
-        planes = _cmpx_roll(planes, sr, 0, br, row, n_key_words, dm, br)
+        planes = _cmpx_roll(planes, sr, 0, br, row, n_key_words, dmi, br)
         sr //= 2
     lane = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 1)
     s = LANES // 2
     while s >= 1:
-        planes = _cmpx_roll(planes, s, 1, LANES, lane, n_key_words, dm,
+        planes = _cmpx_roll(planes, s, 1, LANES, lane, n_key_words, dmi,
                             br)
         s //= 2
     return planes
