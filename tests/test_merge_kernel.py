@@ -70,6 +70,37 @@ def test_merge_kernel_bigger_blocks():
                                       want_cols[j])
 
 
+@pytest.mark.parametrize("na,nb", [(1100, 1900), (7000, 6000),
+                                   (15 * 1024 - 10, 5)])
+def test_merge_kernel_non_pow2_blocks(na, nb):
+    """Non-power-of-two REAL block counts (3, 13, 15 blocks at br=8):
+    exercises the virtual +inf block gating — strided and tail passes
+    must skip pairs/blocks beyond the real length and still produce the
+    exact ascending merge."""
+    rng = np.random.default_rng(na + nb)
+    a_cols, aw = _sorted_stream(rng, na, 2)
+    b_cols, bw = _sorted_stream(rng, nb, 2)
+    words, (w,) = merge_sorted_kernel(
+        tuple(jnp.asarray(c) for c in a_cols), (jnp.asarray(aw),),
+        tuple(jnp.asarray(c) for c in b_cols), (jnp.asarray(bw),),
+        block_rows=8, interpret=True)
+    n_out = words[0].shape[0]
+    assert n_out % 1024 == 0 and (n_out // 1024) & (n_out // 1024 - 1), \
+        "expected a non-pow2 block count for this geometry"
+    want_cols, want_w = _merge_oracle(a_cols, aw, b_cols, bw)
+    n = na + nb
+    for j in range(2):
+        np.testing.assert_array_equal(np.asarray(words[j])[:n],
+                                      want_cols[j])
+    got_pairs = sorted(zip(np.asarray(words[0])[:n].tolist(),
+                           np.asarray(words[1])[:n].tolist(),
+                           np.asarray(w)[:n].tolist()))
+    want_pairs = sorted(zip(want_cols[0].tolist(), want_cols[1].tolist(),
+                            want_w.tolist()))
+    assert got_pairs == want_pairs
+    assert (np.asarray(words[0])[n:] == S).all()
+
+
 def test_merge_kernel_duplicates_across_streams():
     a = np.array([1, 1, 5, 9], np.uint32)
     b = np.array([1, 5, 5, 7, 11], np.uint32)
