@@ -211,6 +211,13 @@ class CodeStreamingCounter:
     must share one [rows, length] shape (the native reader emits uniform
     batches); the stack is padded to the next power-of-two batch count so
     compiled shapes stay few.
+
+    INVARIANT: `.table` is only guaranteed valid after `finish()` (or
+    `current_table()`).  Between flushes the overflow check of the LAST
+    flush is deliberately deferred (optimistic commit, see `_flush`), so
+    mid-stream `.table` may be silently truncated if that flush
+    overflowed capacity; `current_table()` is the checked accessor for
+    mid-stream readers.
     """
 
     def __init__(self, k: int, canonical: bool = True,
@@ -376,6 +383,13 @@ class CodeStreamingCounter:
             nhi, nlo, nc, n_unique = fn(
                 prev.keys_hi, prev.keys_lo, prev.counts, stack)
             self.table = CountTable(nhi, nlo, nc, n_unique)
+
+    def current_table(self) -> CountTable:
+        """The resident table with the deferred overflow check settled —
+        the safe mid-stream accessor (plain `.table` may be transiently
+        truncated right after a flush that overflowed capacity)."""
+        self._check_overflow()
+        return self.table
 
     def finish(self) -> CountTable:
         self._flush()

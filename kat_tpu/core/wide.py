@@ -124,7 +124,11 @@ def lookup_wide(table: WideTable, qwords) -> jax.Array:
 
 
 class WideCodeStreamingCounter:
-    """CodeStreamingCounter for wide keys: fused extract+reduce flush."""
+    """CodeStreamingCounter for wide keys: fused extract+reduce flush.
+
+    Shares counting.CodeStreamingCounter's optimistic-commit INVARIANT:
+    `.table` is only guaranteed valid after `finish()`/`current_table()`
+    (the last flush's overflow check is deferred one flush)."""
 
     def __init__(self, k: int, canonical: bool = True,
                  initial_capacity: int = 1 << 20,
@@ -271,6 +275,12 @@ class WideCodeStreamingCounter:
             fn = self._flush_fn(target_b, rows, length, self.capacity)
             *ws, cw, n_unique = fn(prev, stack)
             self.table = WideTable(tuple(ws), cw, n_unique)
+
+    def current_table(self) -> WideTable:
+        """Checked mid-stream accessor (see counting.CodeStreamingCounter
+        .current_table)."""
+        self._check_overflow()
+        return self.table
 
     def finish(self) -> WideTable:
         self._flush()

@@ -47,13 +47,95 @@ def is_stream_path(path: str) -> bool:
         return False
 
 
+class _GenStream(io.RawIOBase):
+    """stdout of a `gen:<cmd>` subprocess with a checked lifecycle: close
+    reaps the child (no zombie until interpreter exit) and, if the stream
+    was consumed to EOF, raises when the command exited non-zero — a
+    failing generator (bad path, zcat error) must not silently count as a
+    valid-but-short input.  Early abandonment (reader closes before EOF)
+    sends the child SIGPIPE by closing its stdout and does NOT raise."""
+
+    def __init__(self, proc, cmd: str):
+        self._proc = proc
+        self._f = proc.stdout
+        self._cmd = cmd
+        self._saw_eof = False
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        n = self._f.readinto(b)
+        if n == 0:
+            self._saw_eof = True
+        return n
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        try:
+            self._f.close()
+            rc = self._proc.wait()
+            if self._saw_eof and rc != 0:
+                raise RuntimeError(
+                    f"generator command failed (exit {rc}): {self._cmd}")
+        finally:
+            super().close()
+
+
+class _PushbackReader(io.RawIOBase):
+    """Raw stream serving a consumed prefix first, then the underlying
+    stream — the pushback needed because pipes cannot rewind."""
+
+    def __init__(self, prefix: bytes, f):
+        self._prefix = prefix
+        self._f = f
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        if self._prefix:
+            n = min(len(b), len(self._prefix))
+            b[:n] = self._prefix[:n]
+            self._prefix = self._prefix[n:]
+            return n
+        data = self._f.read(len(b))
+        if not data:
+            return 0
+        b[:len(data)] = data
+        return len(data)
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        try:
+            self._f.close()
+        finally:
+            super().close()
+
+
+def _read_at_least(f, n: int) -> bytes:
+    """Accumulate up to n bytes, looping over short reads (a slow pipe
+    writer may deliver 1 byte at a time; a single peek/read is not
+    enough to test the 2-byte gzip magic)."""
+    buf = b""
+    while len(buf) < n:
+        chunk = f.read(n - len(buf))
+        if not chunk:
+            break
+        buf += chunk
+    return buf
+
+
 def _open_raw(path: str):
     if is_generator_path(path):
         import subprocess
 
-        proc = subprocess.Popen(["/bin/sh", "-c", path[4:]],
+        cmd = path[4:]
+        proc = subprocess.Popen(["/bin/sh", "-c", cmd],
                                 stdout=subprocess.PIPE)
-        return proc.stdout
+        return _GenStream(proc, cmd)
     if path == "-":
         import sys
 
@@ -62,9 +144,10 @@ def _open_raw(path: str):
 
 
 def _open_text(path: str) -> io.BufferedReader:
-    f = io.BufferedReader(_open_raw(path))
-    magic = f.peek(2)[:2]  # peek, not seek: pipes cannot rewind
-    if magic == b"\x1f\x8b":
+    raw = _open_raw(path)
+    magic = _read_at_least(raw, 2)
+    f = io.BufferedReader(_PushbackReader(magic, raw))
+    if magic[:2] == b"\x1f\x8b":
         return io.BufferedReader(gzip.GzipFile(fileobj=f))  # type: ignore
     return f
 

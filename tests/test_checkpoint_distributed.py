@@ -123,3 +123,75 @@ def test_wide_checkpoint_shards_disjoint(tmp_path, wide_table):
         seen |= ks
         total += len(ks)
     assert total == len(hc)
+
+
+def test_shard_dest_matches_mesh_ownership(tmp_path, table):
+    """Checkpoint shard placement must equal the mesh's owner_shard —
+    i.e. hash the CANONICAL key form — for canonical AND raw-key tables
+    (ADVICE r2: raw-key tables previously hashed raw keys)."""
+    import jax.numpy as jnp
+
+    from kat_tpu.parallel.sharded import owner_shard
+
+    t, hc = table
+    n_shards = 4
+    for canonical in (True, False):
+        path = str(tmp_path / f"ck_{canonical}")
+        checkpoint.save_table(path, t, k=11, canonical=canonical,
+                              n_shards=n_shards)
+        for s in range(n_shards):
+            keys, _counts = checkpoint.load_shard(path, s)
+            if not len(keys):
+                continue
+            hi = jnp.asarray((keys >> np.uint64(32)).astype(np.uint32))
+            lo = jnp.asarray((keys & np.uint64(0xFFFFFFFF)).astype(
+                np.uint32))
+            mesh_dest = np.asarray(owner_shard((hi, lo), 11, n_shards))
+            assert (mesh_dest == s).all()
+
+
+def test_wide_shard_dest_matches_mesh_ownership(tmp_path, wide_table):
+    import jax.numpy as jnp
+
+    from kat_tpu.parallel.sharded import owner_shard
+
+    t, hc, k = wide_table
+    n_shards = 4
+    checkpoint.save_table(str(tmp_path / "ck"), t, k=k, canonical=True,
+                          n_shards=n_shards)
+    for s in range(n_shards):
+        words, _counts = checkpoint.load_shard(str(tmp_path / "ck"), s)
+        if not len(words):
+            continue
+        wt = tuple(jnp.asarray(words[:, i]) for i in range(words.shape[1]))
+        mesh_dest = np.asarray(owner_shard(wt, k, n_shards))
+        assert (mesh_dest == s).all()
+
+
+def test_canonical_keys_np_matches_oracle():
+    from kat_tpu.core import kmers
+    from kat_tpu.io.checkpoint import _canonical_keys_np
+
+    rng = random.Random(7)
+    for k in (5, 11, 27, 31):
+        keys = np.array([rng.randrange(0, 1 << (2 * k)) for _ in range(200)],
+                        np.uint64)
+        got = _canonical_keys_np(keys, k)
+        want = np.array([kmers.canonical_int(int(v), k) for v in keys],
+                        np.uint64)
+        assert (got == want).all()
+
+
+def test_canonical_words_np_matches_oracle():
+    from kat_tpu.core import kmers, wide as wide_mod
+    from kat_tpu.io.checkpoint import _canonical_words_np
+
+    rng = random.Random(9)
+    for k in (41, 63, 64, 95, 127):
+        nw = kmers.words_for_k(k)
+        ints = [rng.randrange(0, 1 << (2 * k)) for _ in range(100)]
+        words = wide_mod.ints_to_words(ints, n_words=nw)
+        got = _canonical_words_np(words, k)
+        want_ints = [kmers.canonical_int(v, k) for v in ints]
+        want = wide_mod.ints_to_words(want_ints, n_words=nw)
+        assert (got == want).all()

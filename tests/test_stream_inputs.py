@@ -105,3 +105,54 @@ def test_hist_tool_over_generator_pipe(tmp_path):
     strip = lambda s: "\n".join(l for l in s.splitlines()
                                 if not l.startswith("# Input"))
     assert strip(gen_out) == strip(file_out)
+
+
+def test_gzip_magic_survives_one_byte_reads():
+    """A slow pipe writer delivering 1 byte per read must not defeat the
+    2-byte gzip magic check (ADVICE r2: single peek could short-read)."""
+    import gzip as _gzip
+    import io
+
+    from kat_tpu.io.fastx import _PushbackReader, _read_at_least
+
+    payload = _gzip.compress(b">r1\nACGTACGT\n")
+
+    class OneByte(io.RawIOBase):
+        def __init__(self, data):
+            self.data = data
+            self.pos = 0
+
+        def readable(self):
+            return True
+
+        def readinto(self, b):
+            if self.pos >= len(self.data):
+                return 0
+            b[0] = self.data[self.pos]
+            self.pos += 1
+            return 1
+
+    raw = OneByte(payload)
+    magic = _read_at_least(raw, 2)
+    assert magic == b"\x1f\x8b"
+    f = io.BufferedReader(_PushbackReader(magic, raw))
+    assert _gzip.GzipFile(fileobj=f).read() == b">r1\nACGTACGT\n"
+
+
+def test_generator_failure_raises(tmp_path):
+    """A gen: command that dies midway must surface an error, not count a
+    truncated stream as valid input (ADVICE r2)."""
+    import pytest
+
+    from kat_tpu.io import fastx
+
+    path = "gen:printf '>r1\\nACGT\\n'; exit 3"
+    with pytest.raises(RuntimeError, match="generator command failed"):
+        list(fastx.read_records(path))
+
+
+def test_generator_success_reaps_child(tmp_path):
+    from kat_tpu.io import fastx
+
+    recs = list(fastx.read_records("gen:printf '>r1\\nACGTACGT\\n'"))
+    assert len(recs) == 1 and recs[0].seq == b"ACGTACGT"
