@@ -60,18 +60,37 @@ def worker(pid: int, nproc: int, dev_per_proc: int, port: int) -> None:
         return np.ascontiguousarray(view[offs])
 
     mesh = global_mesh()
-    sc = ShardedCounter(mesh, K, shard_capacity=1 << 18, route_slack=8.0)
 
-    # warmup: one batch through the full compiled path
-    sc.add_codes(batch(1000 * (pid + 1)))
-    sc.check()
+    def run(route_identity: bool):
+        """One measured pass; returns (total_s, per_step_s, hist|None).
+        route_identity elides the all_to_all with identical compute —
+        total(routed) - total(identity) estimates pure collective cost,
+        so a real-pod run produces an interconnect decomposition with
+        zero new code (VERDICT r2 item 5)."""
+        sc = ShardedCounter(mesh, K, shard_capacity=1 << 18,
+                            route_slack=8.0, flush_batches=1,
+                            route_identity=route_identity)
+        # warmup: one batch through the full compiled path
+        sc.add_codes(batch(1000 * (pid + 1)))
+        sc.flush()
+        _ = np.asarray(sc.n_unique)  # sync
 
-    t0 = time.perf_counter()
-    for i in range(BATCHES):
-        sc.add_codes(batch(1000 * (pid + 1) + i + 1))
-    sc.check()
-    hist = sc.histogram(1, 10001, 1, 10002)  # forces all work to finish
-    dt = time.perf_counter() - t0
+        steps = []
+        t0 = time.perf_counter()
+        for i in range(BATCHES):
+            ts = time.perf_counter()
+            sc.add_codes(batch(1000 * (pid + 1) + i + 1))
+            sc.flush()
+            _ = np.asarray(sc.n_unique)  # per-step sync
+            steps.append(time.perf_counter() - ts)
+        if route_identity:
+            return time.perf_counter() - t0, steps, None
+        sc.check()
+        hist = sc.histogram(1, 10001, 1, 10002)
+        return time.perf_counter() - t0, steps, hist
+
+    dt, steps, hist = run(route_identity=False)
+    dt_c, steps_c, _ = run(route_identity=True)
 
     windows = BATCHES * ROWS * (LENGTH - K + 1) * nproc
     if pid == 0:
@@ -79,6 +98,10 @@ def worker(pid: int, nproc: int, dev_per_proc: int, port: int) -> None:
             "nproc": nproc,
             "kmers_per_s": windows / dt,
             "seconds": dt,
+            "per_step_seconds": [round(s, 4) for s in steps],
+            "compute_seconds": round(dt_c, 3),
+            "compute_per_step_seconds": [round(s, 4) for s in steps_c],
+            "collective_seconds_est": round(max(dt - dt_c, 0.0), 3),
             "distinct": int(hist[1:].sum()),
         }), flush=True)
 
@@ -96,15 +119,19 @@ def launch(nproc: int, dev_per_proc: int) -> dict:
             [sys.executable, "-u", os.path.abspath(__file__), "--worker",
              str(pid), str(nproc), str(dev_per_proc), str(port)],
             env=env, stdout=subprocess.PIPE if pid == 0 else
-            subprocess.DEVNULL, stderr=subprocess.DEVNULL, text=True))
-    out, _ = procs[0].communicate(timeout=600)
+            subprocess.DEVNULL,
+            stderr=subprocess.PIPE if pid == 0 else subprocess.DEVNULL,
+            text=True))
+    out, err = procs[0].communicate(timeout=600)
     for p in procs[1:]:
         p.wait(timeout=600)
     for line in out.splitlines():
         line = line.strip()
         if line.startswith("{"):
             return json.loads(line)
-    raise RuntimeError(f"worker 0 produced no result: {out!r}")
+    raise RuntimeError(
+        f"worker 0 produced no result (rc={procs[0].returncode}): "
+        f"{out!r}\nstderr tail: {err[-2000:]}")
 
 
 def main() -> None:

@@ -464,6 +464,100 @@ def bitonic_final_phase(planes, n_key_words: int, block_rows: int = 512,
     return tuple(a.reshape(-1) for a in arrs)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("n_key_words", "run_len", "block_rows",
+                                    "interpret"))
+def bitonic_merge_runs(planes, n_key_words: int, run_len: int,
+                       block_rows: int = 512, interpret: bool = False):
+    """Merge `n/run_len` ascending sorted runs (concatenated in the flat
+    planes) into one fully ascending order.
+
+    This is the multi-run counterpart of `bitonic_final_phase`, built for
+    the sharded counter's post-`all_to_all` arrival buffers: every source
+    shard contributes one key-sorted run, so finishing the sort needs only
+    the bitonic phases ABOVE the run size — for 8 runs that is 3 phases
+    (each a few streaming passes) instead of a full re-sort's ~28.
+
+    Requirements: n and run_len powers of two, run_len a multiple of the
+    block size (the caller falls back to `sort_planes_padded` otherwise).
+    Odd runs are first reversed — all-ascending runs become the
+    alternating ascending/descending layout that makes each 2*run_len
+    segment bitonic, which is exactly the state the sort kernel's phase
+    q0+1 (q0 = log2 run_len) expects; directions derive from global index
+    bits as everywhere else.
+    """
+    n_planes = len(planes)
+    n = planes[0].shape[0]
+    if run_len >= n:
+        return tuple(planes)
+    n_runs = n // run_len
+    br = block_rows
+    while br > 8 and (n < 2 * br * LANES or run_len < br * LANES):
+        br //= 2
+    bs = br * LANES
+    if (n % bs or run_len % bs or n & (n - 1)
+            or run_len & (run_len - 1)):
+        raise ValueError(
+            f"n={n}, run_len={run_len} must be pow2 multiples of {bs}")
+    nb = n // bs
+    bB = int(np.log2(bs))
+    pP = int(np.log2(n))
+    q0 = int(np.log2(run_len))
+
+    odd = (jnp.arange(n_runs) % 2 == 1)[:, None]
+    arrs = []
+    for p in planes:
+        x = p.reshape(n_runs, run_len)
+        arrs.append(jnp.where(odd, x[:, ::-1], x).reshape(-1, LANES))
+
+    W = _pick_window(n_planes, br, nb)
+    mW = int(np.log2(W))
+    window = functools.partial(
+        _window_kernel, n_planes=n_planes, n_key_words=n_key_words,
+        br=br, W=W)
+
+    def window_call(arrs, ps_lo, ps_hi, S=1):
+        scal = jnp.array([[0, ps_lo, ps_hi, S, nb]], jnp.int32)
+        outs = _inplace_call(
+            window, (nb // W,), n_planes, n, br,
+            (n_planes, W * br, LANES), interpret, n_scalars=1,
+            n_sems=W * n_planes)(*arrs, scal)
+        return list(outs[:n_planes])
+
+    with jax.enable_x64(False):
+        p = q0 + 1
+        # phases whose cross strides all fit inside one window run batched
+        # in a single pass (the run-build counterpart of the sort's
+        # build+local pass)
+        local_hi = min(bB + mW, pP)
+        if p <= local_hi:
+            arrs = window_call(arrs, p - bB, local_hi - bB)
+            p = local_hi + 1
+        for p in range(p, pP + 1):
+            ps = p - bB
+            T = 1 << (ps - 1)
+            while T >= W:
+                S = max(2, (2 * T) // W)
+                arrs = window_call(arrs, ps, ps, S)
+                T = S // 2
+            arrs = window_call(arrs, ps, ps, 1)
+    return tuple(a.reshape(-1) for a in arrs)
+
+
+def merge_runs_supported(n: int, run_len: int, block_rows: int = 512
+                         ) -> bool:
+    """Can `bitonic_merge_runs` handle this geometry (else the caller
+    full-sorts)?"""
+    if run_len >= n:
+        return True
+    br = block_rows
+    while br > 8 and (n < 2 * br * LANES or run_len < br * LANES):
+        br //= 2
+    bs = br * LANES
+    return not (n % bs or run_len % bs or n & (n - 1)
+                or run_len & (run_len - 1))
+
+
 def sort_planes_padded(planes, n_key_words: int, block_rows: int = 512,
                        interpret: bool = False):
     """Sort arbitrary-length planes: pads to the kernel's pow2 geometry

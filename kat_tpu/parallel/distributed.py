@@ -72,6 +72,33 @@ def shard_files(paths: Sequence[str],
     return [p for i, p in enumerate(sized) if i % count == index]
 
 
+def balanced_batches(local_batches: Sequence, rows: int, length: int):
+    """Yield this process's batches, then empty (all-invalid) padding
+    batches so EVERY process yields the same count.
+
+    The sharded counter's flush is a collective program: all processes
+    must call `add_codes` (and hence flush) in lockstep.  When per-host
+    file shards produce uneven batch counts, hosts with fewer batches pad
+    with empties — the multi-host analogue of the reference parser's
+    empty-tail chunks.  The global max is agreed via one tiny allgather
+    BEFORE any batch is consumed, so no counting collective can
+    interleave with it.  Batches must share one [rows, length] shape.
+    """
+    n_local = len(local_batches)
+    if process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        counts = multihost_utils.process_allgather(
+            np.asarray([n_local], np.int32))
+        n_max = int(np.max(counts))
+    else:
+        n_max = n_local
+    yield from iter(local_batches)
+    empty = np.full((rows, length), 255, np.uint8)
+    for _ in range(n_max - n_local):
+        yield empty
+
+
 def global_mesh(axis_names: Sequence[str] = ("shards",),
                 shape: Sequence[int] | None = None):
     """Mesh over every device of every process (ICI within a slice, DCN

@@ -6,13 +6,22 @@ This is the TPU-native replacement for jellyfish's single shared CAS hash
 §2.5 P2/P3/P9): instead of N pthreads CAS-inserting into one mmap'd array,
 every device
 
-  1. extracts k-mers from its slice of the read batch (data parallelism —
-     the reference's cooperative input pool, P1),
-  2. routes each k-mer to its *owner shard* `mix(key) % n_devices` with a
-     tiled `all_to_all` over the mesh (the moral equivalent of TP/EP
-     sharding),
-  3. sort+segment-reduces arrivals into its resident shard table
-     (deterministic, functional — no CAS, no barriers).
+  1. buffers its slice of the read batches (data parallelism — the
+     reference's cooperative input pool, P1), then per LSM flush
+  2. extracts k-mers and sorts them ONCE by (owner shard, key) — the
+     shard id is folded into spare high key bits when they fit (narrow
+     keys, few shards), else carried as one extra sort plane,
+  3. routes each shard's now-contiguous, already-key-sorted bucket to its
+     owner with a tiled `all_to_all` (the moral equivalent of TP/EP
+     sharding) — buckets are cut with `dynamic_slice`, NO scatters
+     anywhere on the path (a random scatter costs more than a full sort
+     pass on TPU),
+  4. merges the n arriving sorted runs with log2-phase bitonic passes
+     (ops/sort_kernel.bitonic_merge_runs), merges the result with the
+     sorted resident shard table (ops/merge_kernel), and compacts with the
+     streaming reduce-by-key kernel (ops/reduce_kernel) — the same
+     all-Pallas flush as the single-chip counter, so per-chip throughput
+     carries over to the mesh.
 
 Low-dimensional results (histograms, GC matrices, comp counters) are then
 per-shard reductions merged with `psum` (P4).  Tables never need a
@@ -22,7 +31,9 @@ of hash_counter.hpp:204-244's size doubling.
 
 Works on any mesh shape (multi-axis meshes route over the flattened device
 space) and for both narrow (k <= 31, 2-word) and wide (k <= 127,
-4/6/8-word) keys.
+4/6/8-word) keys.  On non-TPU backends the same route structure runs with
+`lax.sort` + the XLA segmented reduce, so the 8-virtual-device CPU tests
+exercise the identical program shape.
 """
 
 from __future__ import annotations
@@ -101,90 +112,176 @@ def owner_shard(words, k: int, n_dest: int) -> jax.Array:
     return (shard_hash_words(cwords) % jnp.uint32(n_dest)).astype(jnp.int32)
 
 
-def _route_local(words, w, n_dest: int, cap: int, k: int):
-    """Bucket local k-mers by destination shard into [n_dest, cap] buffers.
-
-    Zero-weight (invalid/padding) entries are parked in a virtual overflow
-    destination so they can't flood a real bucket.  Returns word buffers, a
-    weight buffer, and the number of *real* k-mers dropped because a bucket
-    overflowed (host checks and re-launches with bigger cap).
-    """
-    W = words[0].shape[0]
-    dest = owner_shard(words, k, n_dest)
-    dest = jnp.where(w > 0, dest, n_dest)  # park padding
-    d_s, *ws_s, w_s = jax.lax.sort(
-        (dest, *words, w.astype(jnp.uint32)), num_keys=1)
-
-    idx = jnp.arange(W, dtype=jnp.int32)
-    is_first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
-                                d_s[1:] != d_s[:-1]])
-    # Forward-propagated segment start via a manual Hillis-Steele max loop
-    # (jnp.cummax / associative_scan compile pathologically on TPU).
-    seg_start = jnp.where(is_first, idx, 0)
-    d = 1
-    while d < W:
-        seg_start = jnp.maximum(
-            seg_start,
-            jnp.concatenate([jnp.zeros((d,), jnp.int32), seg_start[:-d]]))
-        d *= 2
-    pos = idx - seg_start
-
-    in_range = (pos < cap) & (d_s < n_dest)
-    target = jnp.where(in_range, d_s * cap + pos, n_dest * cap)
-    bufs = [jnp.full((n_dest * cap,), SENTINEL, jnp.uint32).at[target].set(
-        wd, mode="drop").reshape(n_dest, cap) for wd in ws_s]
-    buf_w = jnp.zeros((n_dest * cap,), jnp.uint32).at[target].set(
-        w_s, mode="drop").reshape(n_dest, cap)
-    dropped = jnp.sum(jnp.where((~in_range) & (d_s < n_dest), w_s, 0),
-                      dtype=jnp.uint64)
-    return bufs, buf_w, dropped
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, int(np.ceil(np.log2(max(int(n), 1)))))
 
 
-def _count_step_local(codes, *table_arrays, k: int, canonical: bool,
-                      n_dest: int, route_cap: int, table_cap: int,
-                      axis_names: tuple[str, ...], n_words: int,
-                      use_kernel: bool):
-    """Per-device body: extract -> route (all_to_all) -> absorb."""
-    twords = table_arrays[:n_words]
-    tc = table_arrays[n_words]
-    codes = codes.reshape(-1, codes.shape[-1])
-    words, valid = extract(codes, k, canonical)
-    words = tuple(wd.reshape(-1) for wd in words)
-    w = valid.reshape(-1).astype(jnp.uint32)
+def _fold_shift(k: int, n_dest: int) -> int | None:
+    """Bit position for folding the owner-shard id into spare high key
+    bits of the packed (hi, lo) pair — valid when the key occupies >= 32
+    bits and the id (top bit kept zero so a folded real key can never
+    collide with the all-ones SENTINEL) fits above the 2k used bits."""
+    if k > MAX_K or 2 * k < 32:
+        return None
+    spare = 64 - 2 * k
+    if n_dest > (1 << (spare - 1)):
+        return None
+    return 2 * k - 32
 
-    bufs, bw, dropped = _route_local(words, w, n_dest, route_cap, k)
-    rwords = [jax.lax.all_to_all(b, axis_names, 0, 0, tiled=True)
-              for b in bufs]
-    rw = jax.lax.all_to_all(bw, axis_names, 0, 0, tiled=True)
 
-    cat = tuple(jnp.concatenate([tw.reshape(-1), rwd.reshape(-1)])
-                for tw, rwd in zip(twords, rwords))
-    cw = jnp.concatenate([tc.reshape(-1), rw.reshape(-1)])
-    if n_words == 2:
-        out = _unique_reduce(cat[0], cat[1], cw, table_cap,
-                             use_kernel=use_kernel)
+def _flush_local(*args, k: int, canonical: bool, n_dest: int,
+                 route_cap: int, table_cap: int,
+                 axis_names: tuple[str, ...], n_words: int, b: int,
+                 length: int, fold_shift: int | None, use_kernel: bool,
+                 interpret: bool, route_identity: bool = False):
+    """Per-device flush body: extract -> dest-keyed sort -> slice buckets
+    -> all_to_all -> merge runs -> merge table -> streaming reduce."""
+    codes = args[:b]
+    twords = tuple(a[0] for a in args[b:b + n_words])
+    tc = args[b + n_words][0]
+    prev_max = args[b + n_words + 1]
+    prev_dropped = args[b + n_words + 2]
+
+    # -- 1. extract windows from every buffered batch ---------------------
+    cat = jnp.concatenate([c.reshape(-1, length) for c in codes])
+    words, valid = extract(cat, k, canonical)
+    words = tuple(w.reshape(-1) for w in words)
+    valid = valid.reshape(-1)
+
+    # -- 2. owner shard, folded or as an extra sort plane -----------------
+    dest = owner_shard(words, k, n_dest).astype(jnp.uint32)
+    if fold_shift is not None:
+        hi, lo = words
+        fhi = jnp.where(valid, (dest << fold_shift) | hi, SENTINEL)
+        planes = (fhi, lo)
     else:
-        out = _unique_reduce_wide(cat, cw, table_cap,
-                                  use_kernel=use_kernel)
-    *nwords, nc, n_unique = out
+        dplane = jnp.where(valid, dest, SENTINEL)
+        planes = (dplane,) + words
+    nk = len(planes)
 
-    dropped = jax.lax.psum(dropped, axis_names)
-    return (*(wd[None] for wd in nwords), nc[None], n_unique[None], dropped)
+    # -- 3. ONE local sort orders by (dest, key) --------------------------
+    if use_kernel:
+        from ..ops.sort_kernel import sort_planes_padded
+
+        planes_s = sort_planes_padded(planes, nk, interpret=interpret)
+    else:
+        planes_s = jax.lax.sort(planes, num_keys=nk)
+
+    # -- 4. bucket boundaries: n_dest+1 binary searches, no scan ----------
+    if fold_shift is not None:
+        dest_s = planes_s[0] >> fold_shift
+    else:
+        dest_s = planes_s[0]
+    qs = jnp.arange(n_dest + 1, dtype=jnp.uint32)
+    starts = jnp.searchsorted(dest_s, qs).astype(jnp.int32)
+    cnts = starts[1:] - starts[:-1]
+    dropped = jnp.sum(
+        jnp.maximum(cnts - route_cap, 0).astype(jnp.uint64))
+
+    # -- 5. cut [n_dest, route_cap] buckets with dynamic slices -----------
+    # (scatter-free: each bucket is a contiguous, already-key-sorted
+    # segment of the sorted stream; tails mask to sentinels)
+    send = planes_s if fold_shift is not None else planes_s[1:]
+    pos = jnp.arange(route_cap, dtype=jnp.int32)
+    bufs = []
+    for p in send:
+        padded = jnp.concatenate(
+            [p, jnp.full((route_cap,), SENTINEL, jnp.uint32)])
+        rows = [jnp.where(pos < cnts[d],
+                          jax.lax.dynamic_slice(padded, (starts[d],),
+                                                (route_cap,)),
+                          SENTINEL)
+                for d in range(n_dest)]
+        bufs.append(jnp.stack(rows))
+
+    # -- 6. route to owners ----------------------------------------------
+    # (route_identity: timing-harness knob — identical compute with the
+    # exchange elided, so collective cost = full - identity; results are
+    # WRONG globally and must only feed timing)
+    if n_dest > 1 and not route_identity:
+        arr = [jax.lax.all_to_all(bf, axis_names, 0, 0, tiled=True)
+               for bf in bufs]
+    else:
+        arr = bufs
+    arr = [a.reshape(-1) for a in arr]
+
+    # -- 7. strip the dest bits (uniform == my shard id on real keys) -----
+    if fold_shift is not None:
+        ahi, alo = arr
+        is_sent = (ahi == SENTINEL) & (alo == SENTINEL)
+        ahi = jnp.where(is_sent, SENTINEL,
+                        ahi & jnp.uint32((1 << fold_shift) - 1))
+        arr = [ahi, alo]
+
+    n_arr = n_dest * route_cap
+    if use_kernel:
+        from ..ops.merge_kernel import merge_sorted_kernel
+        from ..ops.reduce_kernel import reduce_compact_sorted
+        from ..ops.sort_kernel import (bitonic_merge_runs,
+                                       merge_runs_supported,
+                                       sort_planes_padded)
+
+        # -- 8. merge the n arriving sorted runs (log2 phases) ------------
+        if merge_runs_supported(n_arr, route_cap):
+            merged = bitonic_merge_runs(tuple(arr), n_words, route_cap,
+                                        interpret=interpret)
+        else:
+            merged = sort_planes_padded(tuple(arr), n_words,
+                                        interpret=interpret)
+        sent = jnp.ones(merged[0].shape, jnp.bool_)
+        for m in merged[:n_words]:
+            sent = sent & (m == SENTINEL)
+        w = (~sent).astype(jnp.uint32)
+
+        # -- 9. merge with the sorted resident table + compact ------------
+        mw_words, (mw,) = merge_sorted_kernel(
+            twords, (tc,), merged, (w,), interpret=interpret)
+        n_real = table_cap + n_arr
+        out = reduce_compact_sorted(
+            tuple(p[:n_real] for p in mw_words), mw[:n_real], table_cap,
+            interpret=interpret)
+    else:
+        sent = jnp.ones(arr[0].shape, jnp.bool_)
+        for m in arr[:n_words]:
+            sent = sent & (m == SENTINEL)
+        w = (~sent).astype(jnp.uint32)
+        cat_w = tuple(jnp.concatenate([tw.reshape(-1), a])
+                      for tw, a in zip(twords, arr))
+        cw = jnp.concatenate([tc.reshape(-1), w])
+        if n_words == 2:
+            out = _unique_reduce(cat_w[0], cat_w[1], cw, table_cap,
+                                 use_kernel=False)
+        else:
+            out = _unique_reduce_wide(cat_w, cw, table_cap,
+                                      use_kernel=False)
+
+    *nwords, nc, n_unique = out
+    new_max = jnp.maximum(prev_max, n_unique[None])
+    dropped = prev_dropped + jax.lax.psum(dropped, axis_names)
+    return (*(wd[None] for wd in nwords), nc[None], n_unique[None],
+            new_max, dropped)
 
 
 class ShardedCounter:
     """Streaming k-mer counter whose table lives sharded across a mesh.
 
     Local shard tables are [1, capacity] slices of [n_devices, capacity]
-    global word/count arrays.  `add_codes` absorbs one [rows, L] uint8 code
-    batch (rows padded to a multiple of n_devices).  `finish` returns a
-    host-merged CountTable (k <= 31) or WideTable (k <= 127); `histogram`
-    reduces on device and `psum`s.
+    global word/count arrays.  `add_codes` buffers one [rows, L] uint8
+    code batch (rows padded to a multiple of n_devices); every
+    `flush_batches` batches (or at shape changes / `flush()`) the buffered
+    batches go through ONE jitted extract+route+merge program — the LSM
+    structure that amortizes the resident table's merge cost, mirroring
+    the single-chip CodeStreamingCounter.  `finish` returns a host-merged
+    CountTable (k <= 31) or WideTable (k <= 127); `histogram` reduces on
+    device and `psum`s.
     """
 
     def __init__(self, mesh: Mesh, k: int, canonical: bool = True,
                  shard_capacity: int = 1 << 18,
-                 route_slack: float = 2.0):
+                 route_slack: float = 2.0,
+                 flush_batches: int = 16,
+                 use_kernel: bool | None = None,
+                 route_identity: bool = False):
         self.mesh = mesh
         self.axis_names = tuple(mesh.axis_names)
         self.k = k
@@ -193,13 +290,22 @@ class ShardedCounter:
         self.n_words = words_for_k(k)
         self.shard_capacity = int(shard_capacity)
         self.route_slack = float(route_slack)
-        self.dropped = 0
+        self.flush_batches = int(flush_batches)
+
+        mesh_platform = mesh.devices.flat[0].platform
+        on_tpu = mesh_platform in ("tpu", "axon")
+        if use_kernel is None:
+            use_kernel = on_tpu and not os.environ.get("KAT_TPU_NO_KERNEL")
+        self.use_kernel = bool(use_kernel)
+        self._interpret = not on_tpu
+        self._route_identity = bool(route_identity)
 
         spec = P(self.axis_names if len(self.axis_names) > 1
                  else self.axis_names[0], None)
         self._tspec = spec
         self._tsharding = NamedSharding(mesh, spec)
         self._nsharding = NamedSharding(mesh, P(spec[0]))
+        self._rsharding = NamedSharding(mesh, P())
         self.multiprocess = jax.process_count() > 1
 
         def filled(shape, sharding, fill, dtype):
@@ -218,44 +324,48 @@ class ShardedCounter:
                               np.uint32) for _ in range(self.n_words)]
         self.tc = filled(cap_shape, self._tsharding, 0, np.uint32)
         self.n_unique = filled((self.n,), self._nsharding, 0, np.int32)
-        self._steps: dict = {}
+        # running max of per-flush unique counts: overflow of ANY flush
+        # must be detectable even if later flushes report lower counts
+        self.n_max = filled((self.n,), self._nsharding, 0, np.int32)
+        self._dropped = filled((), self._rsharding, 0, np.uint64)
+        self._codes: list = []
+        self._shape: tuple | None = None
+        self._flush_fns: dict = {}
 
-    def _step_fn(self, rows: int, length: int):
-        key = (rows, length)
-        if key not in self._steps:
-            windows = (rows // self.n) * (length - self.k + 1)
-            route_cap = int(min(
-                windows,
-                np.ceil(windows / self.n * self.route_slack)))
-            route_cap = max(route_cap, 1)
+    def _flush_fn(self, b: int, rows: int, length: int):
+        key = (b, rows, length)
+        if key not in self._flush_fns:
+            windows_local = b * (rows // self.n) * (length - self.k + 1)
+            route_cap = int(np.ceil(
+                windows_local / self.n * self.route_slack))
+            route_cap = max(min(route_cap, windows_local), 1)
+            if self.use_kernel:
+                # pow2 run length lets the arrival merge run as log2(n)
+                # bitonic phases instead of a full sort
+                route_cap = _next_pow2(route_cap)
             spec = self._tspec
             nspec = P(spec[0])
             nw = self.n_words
-            # Pallas kernel only when the mesh actually sits on TPU
-            # devices (the default backend can be TPU while a virtual CPU
-            # mesh is in use, e.g. dryruns)
-            mesh_platform = self.mesh.devices.flat[0].platform
             body = functools.partial(
-                _count_step_local, k=self.k, canonical=self.canonical,
+                _flush_local, k=self.k, canonical=self.canonical,
                 n_dest=self.n, route_cap=route_cap,
-                table_cap=self.shard_capacity, axis_names=self.axis_names,
-                n_words=nw,
-                use_kernel=mesh_platform in ("tpu", "axon")
-                and not os.environ.get("KAT_TPU_NO_KERNEL"))
+                table_cap=self.shard_capacity,
+                axis_names=self.axis_names, n_words=nw, b=b,
+                length=length,
+                fold_shift=_fold_shift(self.k, self.n),
+                use_kernel=self.use_kernel, interpret=self._interpret,
+                route_identity=self._route_identity)
             fn = shard_map(
                 body, mesh=self.mesh,
-                in_specs=(spec,) + (spec,) * (nw + 1),
-                out_specs=(spec,) * (nw + 1) + (nspec, P()))
-            self._steps[key] = jax.jit(
-                fn, donate_argnums=tuple(range(1, nw + 2)))
-        return self._steps[key]
+                in_specs=(spec,) * b + (spec,) * (nw + 1) + (nspec, P()),
+                out_specs=(spec,) * (nw + 1) + (nspec, nspec, P()),
+                check_vma=False)
+            self._flush_fns[key] = jax.jit(
+                fn, donate_argnums=tuple(range(b, b + nw + 3)))
+        return self._flush_fns[key]
 
-    def add_codes(self, codes) -> None:
-        """Absorb one [rows, L] uint8 code batch.
-
-        In a multi-process run every process passes its OWN rows (the same
-        row count everywhere — pad short batches); the global batch is the
-        process-major concatenation."""
+    def _put(self, codes) -> jax.Array:
+        """Pad rows to the mesh multiple and shard row-wise."""
         codes = np.asarray(codes, np.uint8)
         rows, length = codes.shape
         if self.multiprocess:
@@ -266,20 +376,45 @@ class ShardedCounter:
                     [codes, np.full((pad, length), 255, np.uint8)])
                 rows += pad
             rows *= jax.process_count()
-            codes = jax.make_array_from_process_local_data(
+            return jax.make_array_from_process_local_data(
                 self._tsharding, codes, (rows, length))
-        else:
-            if rows % self.n:
-                pad = self.n - rows % self.n
-                codes = np.concatenate(
-                    [codes, np.full((pad, length), 255, np.uint8)])
-                rows += pad
-            codes = jax.device_put(jnp.asarray(codes), self._tsharding)
-        fn = self._step_fn(rows, length)
-        *outs, self.n_unique, dropped = fn(codes, *self.twords, self.tc)
+        if rows % self.n:
+            pad = self.n - rows % self.n
+            codes = np.concatenate(
+                [codes, np.full((pad, length), 255, np.uint8)])
+        return jax.device_put(jnp.asarray(codes), self._tsharding)
+
+    def add_codes(self, codes) -> None:
+        """Buffer one [rows, L] uint8 code batch.
+
+        In a multi-process run every process passes its OWN rows (the same
+        row count everywhere — pad short batches); the global batch is the
+        process-major concatenation."""
+        codes = np.asarray(codes, np.uint8)
+        if codes.ndim != 2:
+            raise ValueError("expected [rows, length] code batch")
+        dev = self._put(codes)
+        if self._shape is not None and dev.shape != self._shape:
+            self.flush()
+        self._shape = dev.shape
+        self._codes.append(dev)
+        if len(self._codes) >= self.flush_batches:
+            self.flush()
+
+    def flush(self) -> None:
+        """Absorb every buffered batch into the resident shard tables."""
+        if not self._codes:
+            return
+        rows, length = self._shape
+        b = len(self._codes)
+        codes = self._codes
+        self._codes = []
+        self._shape = None
+        fn = self._flush_fn(b, rows, length)
+        *outs, self.n_unique, self.n_max, self._dropped = fn(
+            *codes, *self.twords, self.tc, self.n_max, self._dropped)
         self.twords = list(outs[:self.n_words])
         self.tc = outs[self.n_words]
-        self.dropped += int(dropped)
 
     def _host_array(self, arr) -> np.ndarray:
         """Full host copy of a mesh-sharded array (allgather across
@@ -292,15 +427,21 @@ class ShardedCounter:
         return np.asarray(arr)
 
     def check(self) -> None:
-        if self.dropped:
+        self.flush()
+        dropped = int(self._host_array(self._dropped))
+        if dropped:
             raise RuntimeError(
-                f"{self.dropped} k-mers dropped in routing; increase "
+                f"{dropped} k-mers dropped in routing; increase "
                 "route_slack")
-        n_u = self._host_array(self.n_unique)
+        n_u = self._host_array(self.n_max)
         if (n_u > self.shard_capacity).any():
             raise RuntimeError(
                 f"shard table overflow: {n_u.max()} unique keys > capacity "
                 f"{self.shard_capacity}")
+
+    @property
+    def dropped(self) -> int:
+        return int(self._host_array(self._dropped))
 
     def finish(self) -> CountTable | WideTable:
         """Merge shard tables into one host-side sorted table."""

@@ -76,3 +76,75 @@ def test_two_process_histogram_matches_single():
     got = _run(2, base + 1)
     assert got == want
     assert sum(want[1:]) > 0  # counted something real
+
+
+WORKER_UNEVEN = textwrap.dedent("""
+    import json, os, sys
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from jax._src import xla_bridge as xb
+    xb._backend_factories.pop("axon", None)
+    if nproc > 1:
+        jax.distributed.initialize(
+            coordinator_address="127.0.0.1:" + port,
+            num_processes=nproc, process_id=pid)
+    sys.path.insert(0, {root!r})
+    import numpy as np
+    from kat_tpu.parallel.distributed import balanced_batches, global_mesh
+    from kat_tpu.parallel.sharded import ShardedCounter
+
+    K = 33  # wide keys across process boundaries
+    rng = np.random.default_rng(3)
+    genome = rng.integers(0, 4, 1 << 14, dtype=np.uint8)
+    view = np.lib.stride_tricks.sliding_window_view(genome, 128)
+
+    def batch(seed):
+        r = np.random.default_rng(200 + seed)
+        offs = r.integers(0, genome.shape[0] - 128, 16)
+        return np.ascontiguousarray(view[offs])
+
+    # fixed global schedule of 10 batches, dealt round-robin: for nproc=4
+    # the per-process counts are 3/3/2/2 — deliberately UNEVEN
+    mine = [batch(s) for s in range(10) if s % nproc == pid]
+
+    mesh = global_mesh()
+    sc = ShardedCounter(mesh, K, shard_capacity=1 << 14, route_slack=8.0)
+    for b in balanced_batches(mine, 16, 128):
+        sc.add_codes(b)
+    sc.check()
+    hist = sc.histogram(1, 1001, 1, 1002)
+    if pid == 0:
+        print("RESULT " + json.dumps(hist.tolist()), flush=True)
+""").format(root=ROOT)
+
+
+def _run_uneven(nproc: int, port: int) -> list:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("PYTEST_CURRENT_TEST", None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-u", "-c", WORKER_UNEVEN, str(pid), str(nproc),
+         str(port)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in range(nproc)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o}\n{e[-2000:]}"
+    for o, _ in outs:
+        for line in o.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+    raise AssertionError(f"no RESULT line in {outs}")
+
+
+def test_four_process_uneven_wide_matches_single():
+    """4 localhost processes x 2 devices, UNEVEN per-process batch counts
+    (balanced with empty padding batches), wide (k=33) keys: exact parity
+    with the single-process result (VERDICT r2 item 5)."""
+    base = 24000 + (os.getpid() * 3) % 16000
+    want = _run_uneven(1, base)
+    got = _run_uneven(4, base + 1)
+    assert got == want
+    assert sum(want[1:]) > 0
