@@ -331,6 +331,75 @@ def key_mask(k: int):
 # Host-side helpers (numpy; small data, used by tests/tools/goldens)
 # ---------------------------------------------------------------------------
 
+def _rev2_u64_np(x: np.ndarray) -> np.ndarray:
+    """Reverse the 2-bit groups of uint64 values (vectorized host-side)."""
+    m = np.uint64
+    x = ((x & m(0x3333333333333333)) << m(2)) | \
+        ((x >> m(2)) & m(0x3333333333333333))
+    x = ((x & m(0x0F0F0F0F0F0F0F0F)) << m(4)) | \
+        ((x >> m(4)) & m(0x0F0F0F0F0F0F0F0F))
+    x = ((x & m(0x00FF00FF00FF00FF)) << m(8)) | \
+        ((x >> m(8)) & m(0x00FF00FF00FF00FF))
+    x = ((x & m(0x0000FFFF0000FFFF)) << m(16)) | \
+        ((x >> m(16)) & m(0x0000FFFF0000FFFF))
+    return (x << m(32)) | (x >> m(32))
+
+
+def canonical_np(keys: np.ndarray, k: int) -> np.ndarray:
+    """min(key, revcomp) for packed u64 keys (mer_dna.hpp:436 semantics),
+    vectorized numpy — for host-side paths (checkpoint sharding, lookup
+    capacity planning) that must not touch any device."""
+    m = np.uint64
+    keys = np.asarray(keys, np.uint64)
+    rc = _rev2_u64_np(~keys) >> m(64 - 2 * k)
+    rc &= m((1 << (2 * k)) - 1)
+    return np.minimum(keys, rc)
+
+
+def _rev2_u32_np(x: np.ndarray) -> np.ndarray:
+    m = np.uint32
+    x = ((x & m(0x33333333)) << m(2)) | ((x >> m(2)) & m(0x33333333))
+    x = ((x & m(0x0F0F0F0F)) << m(4)) | ((x >> m(4)) & m(0x0F0F0F0F))
+    x = ((x & m(0x00FF00FF)) << m(8)) | ((x >> m(8)) & m(0x00FF00FF))
+    return (x << m(16)) | (x >> m(16))
+
+
+def canonical_words_np(words: np.ndarray, k: int) -> np.ndarray:
+    """Row-wise canonical form of big-first [n, nw] uint32 word keys
+    (numpy mirror of canonicalize_words)."""
+    n, nw = words.shape
+    rev = np.empty_like(words)
+    for i in range(nw):
+        rev[:, i] = _rev2_u32_np(~words[:, nw - 1 - i])
+    shift = 32 * nw - 2 * k
+    ws, bs = divmod(shift, 32)
+    rc = np.zeros_like(words)
+    for i in range(nw):
+        src = i - ws
+        if 0 <= src < nw:
+            v = rev[:, src] >> np.uint32(bs) if bs else rev[:, src].copy()
+            if bs and src - 1 >= 0:
+                v |= rev[:, src - 1] << np.uint32(32 - bs)
+        elif bs and 0 <= src - 1 < nw:
+            v = rev[:, src - 1] << np.uint32(32 - bs)
+        else:
+            v = np.zeros(n, np.uint32)
+        rc[:, i] = v
+    bits = 2 * k
+    for i in range(nw):
+        top = bits - 32 * (nw - 1 - i)
+        if top <= 0:
+            rc[:, i] = 0
+        elif top < 32:
+            rc[:, i] &= np.uint32((1 << top) - 1)
+    less = np.zeros(n, np.bool_)
+    eq = np.ones(n, np.bool_)
+    for i in range(nw):
+        less |= eq & (rc[:, i] < words[:, i])
+        eq &= rc[:, i] == words[:, i]
+    return np.where(less[:, None], rc, words)
+
+
 def pack_string(s: str) -> int:
     """Pack an ACGT string into the 64-bit integer key (host-side)."""
     v = 0

@@ -27,87 +27,9 @@ MANIFEST = "manifest.json"
 SHARD_HASH_ID = "canonical-fmix32-v1"
 
 
-def _rev2_u64(x: np.ndarray) -> np.ndarray:
-    """Reverse the 2-bit groups of uint64 values (vectorized host-side)."""
-    m = np.uint64
-    x = ((x & m(0x3333333333333333)) << m(2)) | \
-        ((x >> m(2)) & m(0x3333333333333333))
-    x = ((x & m(0x0F0F0F0F0F0F0F0F)) << m(4)) | \
-        ((x >> m(4)) & m(0x0F0F0F0F0F0F0F0F))
-    x = ((x & m(0x00FF00FF00FF00FF)) << m(8)) | \
-        ((x >> m(8)) & m(0x00FF00FF00FF00FF))
-    x = ((x & m(0x0000FFFF0000FFFF)) << m(16)) | \
-        ((x >> m(16)) & m(0x0000FFFF0000FFFF))
-    return (x << m(32)) | (x >> m(32))
-
-
-def _canonical_keys_np(keys: np.ndarray, k: int) -> np.ndarray:
-    """min(key, revcomp) for packed u64 keys (mer_dna.hpp:436 semantics),
-    numpy host-side — the checkpoint must not touch any device."""
-    m = np.uint64
-    rc = _rev2_u64(~keys) >> m(64 - 2 * k)
-    rc &= m((1 << (2 * k)) - 1)
-    return np.minimum(keys, rc)
-
-
-def _rev2_u32(x: np.ndarray) -> np.ndarray:
-    m = np.uint32
-    x = ((x & m(0x33333333)) << m(2)) | ((x >> m(2)) & m(0x33333333))
-    x = ((x & m(0x0F0F0F0F)) << m(4)) | ((x >> m(4)) & m(0x0F0F0F0F))
-    x = ((x & m(0x00FF00FF)) << m(8)) | ((x >> m(8)) & m(0x00FF00FF))
-    return (x << m(16)) | (x >> m(16))
-
-
-def _canonical_words_np(words: np.ndarray, k: int) -> np.ndarray:
-    """Row-wise canonical form of big-first [n, nw] uint32 word keys
-    (numpy mirror of core.kmers.canonicalize_words)."""
-    n, nw = words.shape
-    rev = np.empty_like(words)
-    for i in range(nw):
-        rev[:, i] = _rev2_u32(~words[:, nw - 1 - i])
-    shift = 32 * nw - 2 * k
-    ws, bs = divmod(shift, 32)
-    rc = np.zeros_like(words)
-    for i in range(nw):
-        src = i - ws
-        if 0 <= src < nw:
-            v = rev[:, src] >> np.uint32(bs) if bs else rev[:, src].copy()
-            if bs and src - 1 >= 0:
-                v |= rev[:, src - 1] << np.uint32(32 - bs)
-        elif bs and 0 <= src - 1 < nw:
-            v = rev[:, src - 1] << np.uint32(32 - bs)
-        else:
-            v = np.zeros(n, np.uint32)
-        rc[:, i] = v
-    bits = 2 * k
-    for i in range(nw):
-        top = bits - 32 * (nw - 1 - i)
-        if top <= 0:
-            rc[:, i] = 0
-        elif top < 32:
-            rc[:, i] &= np.uint32((1 << top) - 1)
-    # lexicographic row-wise min(words, rc)
-    less = np.zeros(n, np.bool_)
-    eq = np.ones(n, np.bool_)
-    for i in range(nw):
-        less |= eq & (rc[:, i] < words[:, i])
-        eq &= rc[:, i] == words[:, i]
-    return np.where(less[:, None], rc, words)
-
-
-def _shard_hash_words_np(words) -> np.ndarray:
-    """Numpy mirror of parallel.sharded.shard_hash_words (bit-exact; the
-    checkpoint path must not touch any device)."""
-    u = np.uint32
-    x = words[0] ^ u(0x9E3779B9)
-    for w in words:
-        x = (x ^ w) * u(0x85EBCA6B)
-        x = x ^ (x >> u(16))
-    x = x * u(0x7FEB352D)
-    x = x ^ (x >> u(15))
-    x = x * u(0x846CA68B)
-    x = x ^ (x >> u(16))
-    return x
+# host-side numpy mirrors (shared with the lookup capacity planner)
+from ..core.kmers import canonical_np as _canonical_keys_np  # noqa: E402
+from ..core.kmers import canonical_words_np as _canonical_words_np  # noqa
 
 
 def _shard_dest(keys_or_words: np.ndarray, n_shards: int,
@@ -116,15 +38,15 @@ def _shard_dest(keys_or_words: np.ndarray, n_shards: int,
     to the mesh's parallel.sharded.owner_shard, so a resumed run can
     place shards without re-routing regardless of the table's canonical
     flag (canonicalization is a no-op for already-canonical keys)."""
+    from ..parallel.sharded import owner_shard_np
+
     if wide:
-        cw = _canonical_words_np(keys_or_words, k)
-        words = tuple(cw[:, i].astype(np.uint32)
-                      for i in range(cw.shape[1]))
+        words = tuple(keys_or_words[:, i].astype(np.uint32)
+                      for i in range(keys_or_words.shape[1]))
     else:
-        keys = _canonical_keys_np(keys_or_words, k)
-        words = ((keys >> np.uint64(32)).astype(np.uint32),
-                 (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32))
-    return _shard_hash_words_np(words) % np.uint32(n_shards)
+        words = ((keys_or_words >> np.uint64(32)).astype(np.uint32),
+                 (keys_or_words & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    return owner_shard_np(words, k, n_shards)
 
 
 def save_table(path: str, table: counting.CountTable | wide_mod.WideTable,

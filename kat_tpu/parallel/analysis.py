@@ -235,6 +235,28 @@ class ShardedLookup:
             self._fns[key] = jax.jit(fn)
         return self._fns[key]
 
+    def _plan_qcap(self, qs: list, per_dev: int) -> int:
+        """EXACT routing capacity from a host-side pass over the queries:
+        the largest (source device, owner shard) bucket, rounded up to a
+        power of two so compiled shapes stay logarithmic.  This replaces
+        the old guess-and-double loop, whose every doubling recompiled
+        the routed-lookup program (10-130s on the remote TPU toolchain) —
+        pathological query skew now costs at most ONE compile per
+        (per_dev, pow2-qcap) pair and never a retry."""
+        from ..parallel.sharded import owner_shard_np
+
+        c = self.c
+        real = np.zeros(qs[0].shape, np.bool_)
+        for q in qs:
+            real |= q != SENTINEL
+        dest = owner_shard_np(tuple(qs), c.k, c.n).astype(np.int64)
+        src = np.repeat(np.arange(c.n, dtype=np.int64), per_dev)
+        flat = np.where(real, src * c.n + dest, c.n * c.n)
+        counts = np.bincount(flat, minlength=c.n * c.n + 1)[:c.n * c.n]
+        need = int(counts.max()) if counts.size else 1
+        qcap = 1 << max(0, int(np.ceil(np.log2(max(need, 1)))))
+        return max(1, min(qcap, per_dev))
+
     def lookup(self, qwords) -> np.ndarray:
         """Counts for query word arrays (any matching shape)."""
         c = self.c
@@ -245,8 +267,7 @@ class ShardedLookup:
         total = per_dev * c.n
         qs = [np.concatenate([q, np.full((total - m,), SENTINEL,
                                          np.uint32)]) for q in qs]
-        qcap = max(1, int(np.ceil(per_dev / c.n * self.slack)))
-        qcap = min(qcap, per_dev)
+        qcap = self._plan_qcap(qs, per_dev)
         while True:
             fn = self._fn(per_dev, qcap)
             qdev = [jax.device_put(
@@ -255,6 +276,7 @@ class ShardedLookup:
             out, dropped = fn(*qdev, *_table_args(c))
             if int(dropped) == 0:
                 break
+            # safety net only — the exact plan above should never drop
             qcap = min(per_dev, qcap * 2)
         res = np.asarray(out, np.uint32).reshape(-1)[:m]
         return res.reshape(shape)

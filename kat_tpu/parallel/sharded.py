@@ -97,6 +97,37 @@ def shard_hash_words(words) -> jax.Array:
     return x
 
 
+def shard_hash_words_np(words) -> np.ndarray:
+    """Numpy mirror of shard_hash_words (bit-exact), for host-side paths
+    (checkpoint placement, lookup capacity planning) that must not touch
+    any device."""
+    u = np.uint32
+    x = words[0] ^ u(0x9E3779B9)
+    for w in words:
+        x = (x ^ w) * u(0x85EBCA6B)
+        x = x ^ (x >> u(16))
+    x = x * u(0x7FEB352D)
+    x = x ^ (x >> u(15))
+    x = x * u(0x846CA68B)
+    x = x ^ (x >> u(16))
+    return x
+
+
+def owner_shard_np(words, k: int, n_dest: int) -> np.ndarray:
+    """Numpy mirror of owner_shard: fmix32 of the canonical key form."""
+    from ..core.kmers import canonical_np, canonical_words_np, join_u64
+
+    words = tuple(np.asarray(w, np.uint32) for w in words)
+    if len(words) == 2:
+        ck = canonical_np(join_u64(words[0], words[1]), k)
+        cw = ((ck >> np.uint64(32)).astype(np.uint32),
+              (ck & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    else:
+        rows = canonical_words_np(np.stack(words, axis=1), k)
+        cw = tuple(rows[:, i] for i in range(rows.shape[1]))
+    return shard_hash_words_np(cw) % np.uint32(n_dest)
+
+
 def owner_shard(words, k: int, n_dest: int) -> jax.Array:
     """Shard ownership of a key: hash of its CANONICAL form.
 

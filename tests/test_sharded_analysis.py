@@ -229,3 +229,55 @@ def test_routed_halo_profile_wide_keys():
     wc, wg, _ = coverage.window_counts(t, jnp.asarray(codes)[None], k, True)
     np.testing.assert_array_equal(gc_, np.asarray(wc)[0])
     np.testing.assert_array_equal(gg, np.asarray(wg)[0])
+
+
+def test_lookup_skew_single_compile():
+    """Pathological query skew (every query owned by ONE shard) must cost
+    exactly one compiled routed-lookup program — the qcap is planned
+    exactly host-side, never discovered by recompile-and-retry
+    (VERDICT r2 item 6)."""
+    from kat_tpu.core import kmers as km
+
+    seqs = _random_seqs(77, 24)
+    mesh = make_mesh(8)
+    c = _count_sharded(seqs, mesh)
+    svc = ShardedLookup(c)
+
+    # one real k-mer from the data, repeated: all queries -> one shard
+    key = int(km.pack_string(seqs[0].replace("N", "A")[:K]))
+    hi = np.full(331, key >> 32, np.uint32)
+    lo = np.full(331, key & 0xFFFFFFFF, np.uint32)
+    out = svc.lookup([hi, lo])
+    assert len(svc._fns) == 1, f"recompiled: {list(svc._fns)}"
+    # all equal, and equal to the true count of that canonical k-mer
+    want = int(counting.lookup(
+        _count_single(seqs),
+        jnp.asarray(hi[:1]), jnp.asarray(lo[:1]))[0])
+    ck = km.canonical_int(key, K)
+    want_c = int(counting.lookup(
+        _count_single(seqs),
+        jnp.asarray(np.uint32(ck >> 32)[None]),
+        jnp.asarray(np.uint32(ck & 0xFFFFFFFF)[None]))[0])
+    assert (out == out[0]).all()
+    assert int(out[0]) in (want, want_c)
+    assert int(out[0]) > 0
+
+
+def test_lookup_mixed_queries_exact_plan():
+    """Uniformly mixed queries also stay at one compile and return the
+    same counts as the single-table binary search."""
+    seqs = _random_seqs(78, 24)
+    mesh = make_mesh(8)
+    c = _count_sharded(seqs, mesh)
+    svc = ShardedLookup(c)
+    single = _count_single(seqs)
+
+    rng = np.random.default_rng(5)
+    qk = rng.integers(0, 1 << (2 * K), 500, dtype=np.uint64)
+    hi = (qk >> np.uint64(32)).astype(np.uint32)
+    lo = (qk & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    got = svc.lookup([hi, lo])
+    assert len(svc._fns) == 1
+    want = np.asarray(counting.lookup(single, jnp.asarray(hi),
+                                      jnp.asarray(lo)))
+    np.testing.assert_array_equal(got, want)
