@@ -18,6 +18,53 @@ COLOURS = ["#000000", "#ef2929", "#ad7fa8", "#8ae234", "#729fcf",
            "#f2c27e", "#fcaf3e", "#fce94f"]
 
 
+def select_bands(matrix: np.ndarray, mincov: int, covbands: int,
+                 cumulative: bool) -> tuple[np.ndarray, list[int], bool]:
+    """The copy-number rows actually plotted: rows mincov..covbands-1,
+    plus (by default) one cumulative row summing everything >= covbands.
+    Returns (nm, bands, combine_last_row)."""
+    bands = list(range(mincov, covbands))
+    combine_last_row = False
+    if cumulative:
+        combine_last_row = True
+        bands.append(bands[-1] + 1)
+    nm = np.zeros((len(bands), matrix.shape[1]))
+    for i, b in enumerate(bands):
+        nm[i] = matrix[b, :]
+    if combine_last_row:
+        nm[-1] = np.sum(matrix[covbands:, :], axis=0)
+    return nm, bands, combine_last_row
+
+
+def auto_limits(nm: np.ndarray, mincov: int,
+                combine_last_row: bool) -> tuple[int, float]:
+    """(xmax, ymax) per the 99%-volume rule (reference
+    scripts/kat/plot/spectra_cn.py:141-168): the x limit is the first
+    multiplicity whose cumulative volume reaches a cutoff that starts at
+    0.99 and is discounted by half the error-row (0x) share and by the
+    whole cumulative-row share; the y limit is 1.1x the tallest non-1
+    frequency peak of the stacked totals."""
+    totals = np.sum(nm, 0)
+    xmax = len(totals) - 1
+    ysum = np.sum(totals)
+    ymax = np.max(totals)
+    xvolume_cutoff = 0.99
+    if mincov == 0:
+        xvolume_cutoff -= (totals[0] / np.sum(totals[1:])) / 2.0
+    if combine_last_row:
+        xvolume_cutoff -= totals[-1] / np.sum(totals[:-1])
+    peakx = findpeaks(totals)
+    peakx = peakx[peakx != 1]
+    peaky = totals[peakx]
+    for i in range(1, xmax, 1):
+        if np.sum(totals[0:i]) >= float(ysum) * xvolume_cutoff:
+            xmax = i
+            break
+    if peaky.size:
+        ymax = np.max(peaky) * 1.1
+    return xmax, ymax
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         description="Creates a stacked histogram showing the level of "
@@ -53,50 +100,26 @@ def main(argv=None) -> int:
     x_label = args.x_label or "k-mer multiplicity"
     y_label = args.y_label or "Number of distinct k-mers"
 
-    bands = []
-    combine_last_row = False
-    xvolume_cutoff = 0.99
     if args.coverage_list:
-        for p in args.coverage_list.split(","):
-            b = p.strip()
-            if b:
-                bands.append(int(b))
+        bands = [int(p.strip()) for p in args.coverage_list.split(",")
+                 if p.strip()]
         mincov = bands[0]
         covbands = bands[-1]
+        combine_last_row = False
+        nm = np.zeros((len(bands), len(matrix[0])))
+        for i, b in enumerate(bands):
+            nm[i] = matrix[b, :]
     else:
         mincov = (int(args.min_assembly_frequency)
                   if args.min_assembly_frequency else 0)
         covbands = args.max_dup
-        bands = list(range(mincov, covbands))
-        if not args.no_cumulative:
-            combine_last_row = True
-            bands.append(bands[-1] + 1)
+        nm, bands, combine_last_row = select_bands(
+            matrix, mincov, covbands, not args.no_cumulative)
 
     colours = COLOURS[mincov:] if mincov > 0 else COLOURS
 
-    nm = np.zeros((len(bands), len(matrix[0])))
-    for i, b in enumerate(bands):
-        nm[i] = matrix[b, :]
-    if combine_last_row:
-        nm[-1] = np.sum(matrix[covbands:, :], axis=0)
-
     if args.x_max is None or args.y_max is None:
-        totals = np.sum(nm, 0)
-        xmax = len(totals) - 1
-        ysum = np.sum(totals)
-        ymax = np.max(totals)
-        if mincov == 0:
-            xvolume_cutoff -= (totals[0] / np.sum(totals[1:])) / 2.0
-        if combine_last_row:
-            xvolume_cutoff -= totals[-1] / np.sum(totals[:-1])
-        peakx = findpeaks(totals)
-        peakx = peakx[peakx != 1]
-        peaky = totals[peakx]
-        for i in range(1, xmax, 1):
-            if np.sum(totals[0:i]) >= float(ysum) * xvolume_cutoff:
-                xmax = i
-                break
-        ymax = np.max(peaky) * 1.1 if peaky.size else ymax
+        xmax, ymax = auto_limits(nm, mincov, combine_last_row)
 
     if args.x_max is not None:
         xmax = args.x_max

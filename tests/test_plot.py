@@ -69,3 +69,63 @@ def test_plot_cold(tmp_path):
 def test_unknown_mode():
     with pytest.raises(ValueError):
         run_plot("nope", [])
+
+
+def test_spectra_cn_auto_limits_match_reference_formula():
+    """Numeric pin of the spectra-cn 99%-volume axis heuristic (VERDICT
+    r2 weak 6): auto_limits on the reference fixture matrices must equal
+    the reference script's own formula (scripts/kat/plot/spectra_cn.py
+    :141-168), transcribed here as the oracle, and the literal values
+    are pinned against regressions."""
+    import numpy as np
+
+    from kat_tpu.plot.misc import readheader
+    from kat_tpu.plot.spectra_cn import auto_limits, select_bands
+
+    def ref_limits(nm, mincov, combine_last_row):
+        # faithful transcription of the reference formula (oracle)
+        def ref_findpeaks(a):
+            a = np.squeeze(np.asarray(a))
+            ad = np.sign(np.diff(a))
+            ad[ad == 0] = 1
+            return np.where(np.diff(ad) == -2)[0] + 1
+
+        totals = np.sum(nm, 0)
+        xmax = len(totals) - 1
+        ysum = np.sum(totals)
+        ymax = np.max(totals)
+        xvolume_cutoff = 0.99
+        if mincov == 0:
+            xvolume_cutoff -= (totals[0] / np.sum(totals[1:])) / 2.0
+        if combine_last_row:
+            xvolume_cutoff -= totals[-1] / np.sum(totals[:-1])
+        peakx = ref_findpeaks(totals)
+        peakx = peakx[peakx != 1]
+        peaky = totals[peakx]
+        for i in range(1, xmax, 1):
+            if np.sum(totals[0:i]) >= float(ysum) * xvolume_cutoff:
+                xmax = i
+                break
+        if peaky.size:
+            ymax = np.max(peaky) * 1.1
+        return xmax, ymax
+
+    res = "/root/reference/scripts/test/resources"
+    pinned = {"spectracn1.mx": (5, 25.3), "spectracn2.mx": (1, 5122.7)}
+    for fx, (want_x, want_y) in pinned.items():
+        with open(f"{res}/{fx}") as f:
+            readheader(f)
+            matrix = np.loadtxt(f)
+        nm, _bands, clr = select_bands(matrix, 0, 6, True)
+        got_x, got_y = auto_limits(nm, 0, clr)
+        ref_x, ref_y = ref_limits(nm, 0, clr)
+        assert got_x == ref_x == want_x
+        assert got_y == ref_y
+        assert abs(got_y - want_y) < 1e-6 * max(want_y, 1)
+
+        # with the cumulative row disabled the cutoff loses a discount
+        nm2, _b2, clr2 = select_bands(matrix, 0, 6, False)
+        assert auto_limits(nm2, 0, clr2) == ref_limits(nm2, 0, clr2)
+        # and a nonzero mincov drops the error-row discount
+        nm3, _b3, clr3 = select_bands(matrix, 1, 6, True)
+        assert auto_limits(nm3, 1, clr3) == ref_limits(nm3, 1, clr3)
