@@ -78,7 +78,10 @@ def child_main() -> None:
     #                                    sort kernel's 2^26 pow2 geometry
     #                                    to 97.5% (12 batches padded 27%
     #                                    of the sort with sentinels)
-    warm_batches = 17                  # exercises one full fused flush
+    warm_batches = 33                  # two full flushes + the partial
+    #                                    third: the LSM consolidation
+    #                                    (runs+table merge) compiles in
+    #                                    warmup, not in the first window
     bench_batches = 48                 # three flushes
 
     rng = np.random.default_rng(42)
@@ -104,15 +107,15 @@ def child_main() -> None:
     for i in range(warm_batches):
         sc.add_codes(batches[i % 4])
     sc._flush()
-    _ = int(sc.table.n_unique)  # force pending device work to complete
+    _ = sc.device_sync()  # force pending device work to complete
 
     def window() -> float:
         t0 = time.perf_counter()
         for i in range(bench_batches):
             sc.add_codes(batches[i % 4])
         sc._flush()
-        _ = int(sc.table.n_unique)  # device sync (block_until_ready is
-        #                             unreliable over the remote tunnel)
+        _ = sc.device_sync()  # (block_until_ready is unreliable over
+        #                        the remote tunnel)
         return time.perf_counter() - t0
 
     # Best of three measurement windows; but if the FIRST (fully warm,

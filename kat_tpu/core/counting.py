@@ -223,13 +223,22 @@ class CodeStreamingCounter:
     def __init__(self, k: int, canonical: bool = True,
                  initial_capacity: int = 1 << 20,
                  max_capacity: int = 1 << 30, disable_grow: bool = False,
-                 flush_batches: int = 16):
+                 flush_batches: int = 16, lsm_runs: int | None = None):
         self.k = k
         self.canonical = canonical
         self.capacity = int(initial_capacity)
         self.max_capacity = int(max_capacity)
         self.disable_grow = disable_grow
         self.flush_batches = int(flush_batches)
+        if lsm_runs is None:
+            env = os.environ.get("KAT_TPU_LSM_RUNS")
+            if env is not None:
+                lsm_runs = int(env)
+            else:
+                # 3 pending runs + the resident table = a pow2 4-run
+                # bitonic consolidation merge
+                lsm_runs = 3 if kernels_enabled() else 0
+        self.lsm_runs = int(lsm_runs)
         self.table = empty_table(self.capacity)
         self._codes: list = []
         self._shape: tuple | None = None
@@ -237,6 +246,14 @@ class CodeStreamingCounter:
         # Deferred overflow check: (pre-flush table, stack, target_b, rows,
         # length) of the one flush whose n_unique has not been fetched yet.
         self._unchecked: tuple | None = None
+        # LSM mode: sorted per-flush runs pending consolidation, each a
+        # (hi, lo, counts, n_unique, replay_stack_info) tuple
+        self._runs: list = []
+        self._run_fns: dict = {}
+        self._consol_fns: dict = {}
+        # inputs of the last consolidation, kept until its n_unique has
+        # been fetched (growth replay)
+        self._consol_unchecked: tuple | None = None
 
     def add_codes(self, codes) -> None:
         if not isinstance(codes, jax.Array):
@@ -327,6 +344,100 @@ class CodeStreamingCounter:
             self._flush_fns[key] = fused
         return self._flush_fns[key]
 
+    def _run_fn(self, b: int, rows: int, length: int, cap: int):
+        """LSM mode: extract + sort + reduce of the fresh windows ONLY —
+        the resident table is NOT touched per flush (its merge is
+        amortized over lsm_runs flushes by _consolidate)."""
+        key = (b, rows, length, cap)
+        if key not in self._run_fns:
+            from ..ops.reduce_kernel import reduce_compact_sorted
+            from ..ops.sort_kernel import sort_planes_padded
+            from .kmers import extract_kmers
+
+            k = self.k
+            canonical = self.canonical
+            interp = _kernel_interpret()
+            use_sort_kernel = not os.environ.get("KAT_TPU_NO_SORT_KERNEL")
+
+            @jax.jit
+            def run(codes):
+                hi, lo, _valid = extract_kmers(
+                    codes.reshape(-1, length), k, canonical)
+                if use_sort_kernel:
+                    fhi, flo = sort_planes_padded(
+                        (hi.reshape(-1), lo.reshape(-1)), 2,
+                        interpret=interp)
+                else:
+                    fhi, flo = jax.lax.sort(
+                        (hi.reshape(-1), lo.reshape(-1)), num_keys=2)
+                fw = (~((fhi == SENTINEL)
+                        & (flo == SENTINEL))).astype(jnp.uint32)
+                return reduce_compact_sorted((fhi, flo), fw, cap,
+                                             interpret=interp)
+
+            self._run_fns[key] = run
+        return self._run_fns[key]
+
+    def _merge_runs(self, table: CountTable, runs: list,
+                    cap: int) -> CountTable:
+        """Consolidate the resident table + pending sorted runs into one
+        table: every input is a sorted sentinel-padded (keys, counts)
+        array, so the whole merge is log2(R) bitonic phases
+        (ops/sort_kernel.bitonic_merge_runs with the counts riding as
+        payload) + one streaming reduce — instead of one merge+reduce
+        per flush (the ~60ms/flush the round-2 decomposition charged to
+        the table join)."""
+        arrays = [(table.keys_hi, table.keys_lo, table.counts)]
+        arrays += [(r[0], r[1], r[2]) for r in runs]
+        lens = tuple(a[0].shape[0] for a in arrays)
+        key = (lens, cap)
+        if key not in self._consol_fns:
+            from ..ops.reduce_kernel import reduce_compact_sorted
+            from ..ops.sort_kernel import (bitonic_merge_runs,
+                                           merge_runs_supported,
+                                           sort_planes_padded)
+
+            interp = _kernel_interpret()
+            R = len(lens)
+            Rp = 1 << max(0, int(np.ceil(np.log2(R))))
+            supported = merge_runs_supported(Rp * cap, cap)
+
+            @jax.jit
+            def consol(*flat):
+                his, los, cs = [], [], []
+                for i in range(R):
+                    h, l, c = flat[3 * i:3 * i + 3]
+                    pad = cap - h.shape[0]
+                    if pad:
+                        h = jnp.concatenate(
+                            [h, jnp.full((pad,), SENTINEL, jnp.uint32)])
+                        l = jnp.concatenate(
+                            [l, jnp.full((pad,), SENTINEL, jnp.uint32)])
+                        c = jnp.concatenate(
+                            [c, jnp.zeros((pad,), jnp.uint32)])
+                    his.append(h)
+                    los.append(l)
+                    cs.append(c)
+                for _ in range(Rp - R):  # pow2-pad with sentinel runs
+                    his.append(jnp.full((cap,), SENTINEL, jnp.uint32))
+                    los.append(jnp.full((cap,), SENTINEL, jnp.uint32))
+                    cs.append(jnp.zeros((cap,), jnp.uint32))
+                hi = jnp.concatenate(his)
+                lo = jnp.concatenate(los)
+                c = jnp.concatenate(cs)
+                if supported:
+                    mh, ml, mc = bitonic_merge_runs((hi, lo, c), 2, cap,
+                                                    interpret=interp)
+                else:
+                    mh, ml, mc = sort_planes_padded((hi, lo, c), 2,
+                                                    interpret=interp)
+                return reduce_compact_sorted((mh, ml), mc, cap,
+                                             interpret=interp)
+
+            self._consol_fns[key] = consol
+        flat = [a for r in arrays for a in r]
+        return CountTable(*self._consol_fns[key](*flat))
+
     def _flush(self) -> None:
         if not self._codes:
             return
@@ -347,6 +458,20 @@ class CodeStreamingCounter:
         self._codes = []
         self._shape = None
         self._check_overflow()
+        if self.lsm_runs > 0 and kernels_enabled():
+            fn = self._run_fn(target_b, rows, length, self.capacity)
+            rhi, rlo, rc, r_nu = fn(stack)
+            self._runs.append((rhi, rlo, rc, r_nu))
+            # Optimistic commit (see below): the run's overflow check is
+            # deferred one flush; the replay stack is kept until then.
+            self._unchecked = ("run", stack, target_b, rows, length)
+            try:
+                r_nu.copy_to_host_async()
+            except AttributeError:
+                pass
+            if len(self._runs) >= self.lsm_runs:
+                self._consolidate()
+            return
         fn = self._flush_fn(target_b, rows, length, self.capacity)
         nhi, nlo, nc, n_unique = fn(
             self.table.keys_hi, self.table.keys_lo, self.table.counts,
@@ -357,7 +482,8 @@ class CodeStreamingCounter:
         # deferred to the NEXT flush/finish, by which point the scalar is
         # already computed; on overflow the flush replays from the kept
         # pre-flush table at doubled capacity.
-        self._unchecked = (self.table, stack, target_b, rows, length)
+        self._unchecked = ("table", self.table, stack, target_b, rows,
+                           length)
         self.table = CountTable(nhi, nlo, nc, n_unique)
         # start the scalar's device->host trip now: by the time the
         # deferred check reads it, the (slow, ~30ms over the dev tunnel)
@@ -367,16 +493,27 @@ class CodeStreamingCounter:
         except AttributeError:
             pass
 
+    def _grow(self) -> None:
+        if self.disable_grow or self.capacity * 2 > self.max_capacity:
+            raise TableFullError(
+                f"Count table full at capacity {self.capacity}")
+        self.capacity *= 2
+
     def _check_overflow(self) -> None:
         if self._unchecked is None:
             return
-        prev, stack, target_b, rows, length = self._unchecked
+        kind, *rest = self._unchecked
         self._unchecked = None
+        if kind == "run":
+            stack, target_b, rows, length = rest
+            while int(self._runs[-1][3]) > self.capacity:
+                self._grow()
+                fn = self._run_fn(target_b, rows, length, self.capacity)
+                self._runs[-1] = tuple(fn(stack))
+            return
+        prev, stack, target_b, rows, length = rest
         while int(self.table.n_unique) > self.capacity:
-            if self.disable_grow or self.capacity * 2 > self.max_capacity:
-                raise TableFullError(
-                    f"Count table full at capacity {self.capacity}")
-            self.capacity *= 2
+            self._grow()
             prev = merge_tables(prev, empty_table(0),
                                 capacity=self.capacity)
             fn = self._flush_fn(target_b, rows, length, self.capacity)
@@ -384,16 +521,56 @@ class CodeStreamingCounter:
                 prev.keys_hi, prev.keys_lo, prev.counts, stack)
             self.table = CountTable(nhi, nlo, nc, n_unique)
 
-    def current_table(self) -> CountTable:
-        """The resident table with the deferred overflow check settled —
-        the safe mid-stream accessor (plain `.table` may be transiently
-        truncated right after a flush that overflowed capacity)."""
+    def _consolidate(self) -> None:
+        """Merge pending runs + resident table (LSM mode)."""
         self._check_overflow()
+        if not self._runs:
+            return
+        self._check_consol()
+        runs = self._runs
+        self._runs = []
+        prev_table = self.table
+        self.table = self._merge_runs(prev_table, runs, self.capacity)
+        # consolidation inputs kept until its n_unique is fetched: on
+        # overflow the merge replays at doubled capacity
+        self._consol_unchecked = (prev_table, runs)
+        try:
+            self.table.n_unique.copy_to_host_async()
+        except AttributeError:
+            pass
+
+    def _check_consol(self) -> None:
+        if self._consol_unchecked is None:
+            return
+        prev_table, runs = self._consol_unchecked
+        self._consol_unchecked = None
+        while int(self.table.n_unique) > self.capacity:
+            self._grow()
+            self.table = self._merge_runs(prev_table, runs, self.capacity)
+
+    def device_sync(self) -> int:
+        """Block until this counter's most recently scheduled device work
+        completes by fetching its newest scalar (block_until_ready does
+        not block over the remote tunnel).  Returns that scalar."""
+        if self._runs:
+            return int(self._runs[-1][3])
+        return int(self.table.n_unique)
+
+    def current_table(self) -> CountTable:
+        """The resident table with all deferred work settled — the safe
+        mid-stream accessor (plain `.table` may be transiently truncated
+        right after an overflowing flush, and in LSM mode excludes
+        pending runs)."""
+        self._check_overflow()
+        self._consolidate()
+        self._check_consol()
         return self.table
 
     def finish(self) -> CountTable:
         self._flush()
         self._check_overflow()
+        self._consolidate()
+        self._check_consol()
         return self.table
 
 

@@ -64,6 +64,18 @@ from .merge_kernel import _cmpx_blocks, _lex_less
 
 LANES = 128
 
+# Build phases q <= this run STATICALLY UNROLLED and VALUE-CARRIED per
+# block (36 rounds at 8): the block's planes load from VMEM once, all
+# early-phase compare-exchange rounds chain through registers, and the
+# result stores once — instead of a VMEM read-modify-write per round.
+# Phases above it keep the traced-phase-gated RMW loop that bounds the
+# compiled size (the remote Mosaic toolchain OOMs on full static
+# unrolls).  KAT_TPU_SORT_STATIC_Q overrides (0 disables) for on-chip
+# A/B.
+import os as _os  # noqa: E402
+
+STATIC_BUILD_Q = int(_os.environ.get("KAT_TPU_SORT_STATIC_Q", "8"))
+
 
 def _xor(a, b):
     # i1 xor: Mosaic lowers &,|,~ on i1 vectors but not select/rotate.
@@ -219,8 +231,26 @@ def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
     fi_local = (jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 0) * LANES
                 + jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 1))
 
+    q0 = min(STATIC_BUILD_Q, bB)
+
     @pl.when(do_build != 0)
     def _build():
+        if q0 > 0:
+            # phases 1..q0: static unroll, value-carried — one VMEM
+            # load/store per block instead of one per round
+            def per_block_static(w, c2):
+                fi_global = blk_id(w) * (br * LANES) + fi_local
+                planes = [blk(p, w) for p in range(n_planes)]
+                for q in range(1, q0 + 1):
+                    for r in range(q - 1, -1, -1):
+                        planes = _round_dyn_q(planes, q, r, n_key_words,
+                                              br, fi_global)
+                for p in range(n_planes):
+                    set_blk(p, w, planes[p])
+                return c2
+
+            jax.lax.fori_loop(0, W, per_block_static, jnp.int32(0))
+
         def per_q(q, carry):
             def per_block(w, c2):
                 fi_global = blk_id(w) * (br * LANES) + fi_local
@@ -237,7 +267,7 @@ def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
             jax.lax.fori_loop(0, W, per_block, jnp.int32(0))
             return carry
 
-        jax.lax.fori_loop(1, bB + 1, per_q, jnp.int32(0))
+        jax.lax.fori_loop(q0 + 1, bB + 1, per_q, jnp.int32(0))
 
     def per_phase(ps, carry):
         s = W // 2

@@ -246,3 +246,95 @@ def test_logshift_routing_exhaustive():
             s *= 2
         cnt = int(mask.sum())
         assert (v[:cnt] == vals[mask]).all()
+
+
+def _lsm_table_dict(t):
+    n = int(t.n_unique)
+    hi = np.asarray(t.keys_hi[:n], np.uint64)
+    lo = np.asarray(t.keys_lo[:n], np.uint64)
+    c = np.asarray(t.counts[:n])
+    return dict(zip(((hi << np.uint64(32)) | lo).tolist(), c.tolist()))
+
+
+@pytest.mark.parametrize("lsm_runs", [1, 2, 3])
+def test_lsm_multi_run_tables_interpret(monkeypatch, lsm_runs):
+    """LSM mode (per-flush sorted runs, consolidation merge deferred)
+    must match the non-LSM path exactly, for any run budget."""
+    from kat_tpu.core import counting
+
+    rng = np.random.default_rng(8)
+    batches = [_random_codes(rng, 8, 64) for _ in range(7)]
+
+    def run(lsm):
+        sc = counting.CodeStreamingCounter(
+            9, canonical=True, initial_capacity=1 << 10, flush_batches=2,
+            lsm_runs=lsm)
+        for b in batches:
+            sc.add_codes(b)
+        return _lsm_table_dict(sc.finish())
+
+    monkeypatch.setenv("KAT_TPU_KERNEL", "1")
+    counting.kernels_enabled.cache_clear()
+    try:
+        want = run(0)         # fused per-flush table merge
+        got = run(lsm_runs)   # deferred LSM consolidation
+    finally:
+        monkeypatch.delenv("KAT_TPU_KERNEL")
+        counting.kernels_enabled.cache_clear()
+    assert got == want
+
+
+def test_lsm_growth_replay_interpret(monkeypatch):
+    """Capacity growth in LSM mode: a run overflowing the capacity must
+    replay at doubled capacity (deferred), and consolidation overflow
+    must re-merge — final counts exact either way."""
+    from kat_tpu.core import counting
+
+    rng = np.random.default_rng(13)
+    batches = [_random_codes(rng, 16, 64) for _ in range(4)]
+
+    def run(cap):
+        sc = counting.CodeStreamingCounter(
+            11, canonical=True, initial_capacity=cap, flush_batches=1,
+            lsm_runs=3, max_capacity=1 << 14)
+        for b in batches:
+            sc.add_codes(b)
+        return _lsm_table_dict(sc.finish())
+
+    monkeypatch.setenv("KAT_TPU_KERNEL", "1")
+    counting.kernels_enabled.cache_clear()
+    try:
+        want = run(1 << 13)   # ample: no growth
+        got = run(1 << 10)    # tiny: forces run + consolidation growth
+    finally:
+        monkeypatch.delenv("KAT_TPU_KERNEL")
+        counting.kernels_enabled.cache_clear()
+    assert got == want
+
+
+def test_lsm_current_table_settles_pending(monkeypatch):
+    from kat_tpu.core import counting
+
+    rng = np.random.default_rng(14)
+    batches = [_random_codes(rng, 8, 64) for _ in range(2)]
+
+    monkeypatch.setenv("KAT_TPU_KERNEL", "1")
+    counting.kernels_enabled.cache_clear()
+    try:
+        sc = counting.CodeStreamingCounter(
+            9, canonical=True, initial_capacity=1 << 10, flush_batches=1,
+            lsm_runs=4)
+        for b in batches:
+            sc.add_codes(b)
+        assert len(sc._runs) == 2       # pending, not consolidated
+        mid = _lsm_table_dict(sc.current_table())
+        assert not sc._runs             # settled
+        ref = counting.CodeStreamingCounter(
+            9, canonical=True, initial_capacity=1 << 10, flush_batches=1,
+            lsm_runs=0)
+        for b in batches:
+            ref.add_codes(b)
+        assert mid == _lsm_table_dict(ref.finish())
+    finally:
+        monkeypatch.delenv("KAT_TPU_KERNEL")
+        counting.kernels_enabled.cache_clear()
