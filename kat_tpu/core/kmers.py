@@ -29,7 +29,10 @@ import numpy as np
 SENTINEL = np.uint32(0xFFFFFFFF)
 
 MAX_K = 31        # packed-u64 (hi, lo) fast path
-MAX_K_WIDE = 127  # wide path (kmers as 4/6/8 x uint32, big-first)
+MAX_K_WIDE = 255  # wide path (kmers as 2*(k//32+1) x uint32, big-first);
+#                   the reference's mer_dna supports arbitrary k via word
+#                   arrays (mer_dna.hpp) — 255 covers every practical
+#                   k-mer use at 16 sort planes max
 
 # 256-entry ASCII -> 2-bit code table; 4 = invalid (mirrors mer_dna::code
 # returning -1 for non-ACGT, mer_dna.hpp:382).
@@ -166,7 +169,8 @@ N_WORDS_WIDE = 4  # word count for the (31, 63] range (compat constant)
 
 
 def words_for_k(k: int) -> int:
-    """2 for the packed-u64 fast path; 4/6/8 words for wide keys.
+    """2 for the packed-u64 fast path; 2*(k//32+1) words for wide keys
+    (4/6/8/10/... for k <= 63/95/127/159/...).
 
     The word count always leaves at least one unused high bit so the
     all-ones SENTINEL can never collide with a real key (a poly-T k-mer
@@ -180,8 +184,8 @@ def words_for_k(k: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("k", "canonical"))
 def extract_kmers_wide(codes: jax.Array, k: int, canonical: bool = True):
-    """extract_kmers for k in (31, 127]: returns (words, valid) where words
-    is a words_for_k(k)-tuple of uint32 arrays, big-first."""
+    """extract_kmers for wide k: returns (words, valid) where words is a
+    words_for_k(k)-tuple of uint32 arrays, big-first."""
     if not (MAX_K < k <= MAX_K_WIDE):
         raise ValueError(f"wide path requires {MAX_K} < k <= {MAX_K_WIDE}")
     L = codes.shape[-1]

@@ -88,12 +88,12 @@ def read_jf(path: str) -> tuple[JfHeader, np.ndarray | list, np.ndarray]:
     """Load a .jf file -> (header, keys, u32 counts).
 
     keys is a np.uint64 array for key_len <= 64 (k <= 32) and a list of
-    python ints for wider keys (up to key_len 256, k <= 127 — the wide
+    python ints for wider keys (up to key_len 512, k <= 255 — the wide
     engine path).
     """
     hdr, off = read_header(path)
-    if hdr.key_len > 256:
-        raise ValueError(f"key_len {hdr.key_len} > 256 unsupported")
+    if hdr.key_len > 512:
+        raise ValueError(f"key_len {hdr.key_len} > 512 unsupported")
     data = np.fromfile(path, np.uint8, offset=off)
     rec = hdr.record_len
     n = data.size // rec
@@ -153,7 +153,7 @@ def write_jf(path: str, keys, counts: np.ndarray, mer_len: int,
     """Write (keys, counts) as a jellyfish-compatible binary/sorted hash.
 
     keys: np.uint64 array (k <= 32) or a sequence of python ints (wide
-    keys, k <= 127)."""
+    keys, k <= 255)."""
     wide_keys = not isinstance(keys, np.ndarray) or keys.dtype == object
     if wide_keys:
         pairs = sorted(zip([int(x) for x in keys],
@@ -251,7 +251,7 @@ def _header_blob(mer_len: int, canonical: bool, counter_len: int, n: int,
 def _write_jf_wide(path: str, pairs: list[tuple[int, int]], mer_len: int,
                    canonical: bool, counter_len: int,
                    cmdline: list[str] | None) -> None:
-    """Write wide (k <= 127) keys: byte-serialised little-endian like the
+    """Write wide (k <= 255) keys: byte-serialised little-endian like the
     binary_dumper, keys as python ints."""
     key_len = 2 * mer_len
     key_bytes = key_len // 8 + (1 if key_len % 8 else 0)
