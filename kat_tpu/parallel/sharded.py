@@ -397,6 +397,12 @@ class ShardedCounter:
 
     def _put(self, codes) -> jax.Array:
         """Pad rows to the mesh multiple and shard row-wise."""
+        if (isinstance(codes, jax.Array) and not self.multiprocess
+                and codes.ndim == 2 and codes.shape[0] % self.n == 0):
+            # already on device with compatible rows: re-layout only —
+            # never round-trip through the host (the dev tunnel makes
+            # host<->device copies pathologically slow)
+            return jax.device_put(codes, self._tsharding)
         codes = np.asarray(codes, np.uint8)
         rows, length = codes.shape
         if self.multiprocess:
@@ -421,7 +427,8 @@ class ShardedCounter:
         In a multi-process run every process passes its OWN rows (the same
         row count everywhere — pad short batches); the global batch is the
         process-major concatenation."""
-        codes = np.asarray(codes, np.uint8)
+        if not isinstance(codes, jax.Array):
+            codes = np.asarray(codes, np.uint8)
         if codes.ndim != 2:
             raise ValueError("expected [rows, length] code batch")
         dev = self._put(codes)
