@@ -16,6 +16,28 @@ COLOURS = ["#cc0000", "#75507b", "#3465a4", "#73d216", "#c17d11",
            "#f57900", "#edd400"]
 
 
+def auto_limits(xs: list, ys: list) -> tuple[int, float]:
+    """(xmax, ymax) per the reference's 99.9%-volume rule (reference
+    scripts/kat/plot/spectra_hist.py:84-103): per histogram, the x limit
+    is the first frequency (stepping by len/1000+1) whose cumulative
+    distinct-k-mer volume reaches 99.9%, the y limit 1.1x the tallest
+    non-1-frequency peak; the max over all histograms wins."""
+    xmax = list(map(len, xs))
+    ysum = list(map(np.sum, ys))
+    ymax = list(map(np.max, ys))
+    for i in range(len(xs)):
+        peakx = findpeaks(ys[i])
+        peakx = peakx[peakx != 1]
+        peaky = ys[i][peakx]
+        for j in range(1, xmax[i], int(xmax[i] / 1000) + 1):
+            if np.sum(ys[i][:j]) >= ysum[i] * 0.999:
+                xmax[i] = j
+                break
+        if peaky.size:
+            ymax[i] = np.max(peaky) * 1.1
+    return max(xmax), max(ymax)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         description="Creates K-mer spectra plots from one or more "
@@ -55,21 +77,7 @@ def main(argv=None) -> int:
     y_label = args.y_label or headers[0].get("YLabel", "Y")
 
     if args.x_max is None or args.y_max is None:
-        xmax = list(map(len, x))
-        ysum = list(map(np.sum, y))
-        ymax = list(map(np.max, y))
-        for i in range(len(x)):
-            peakx = findpeaks(y[i])
-            peakx = peakx[peakx != 1]
-            peaky = y[i][peakx]
-            for j in range(1, xmax[i], int(xmax[i] / 1000) + 1):
-                if np.sum(y[i][:j]) >= ysum[i] * 0.999:
-                    xmax[i] = j
-                    break
-            if peaky.size:
-                ymax[i] = np.max(peaky) * 1.1
-        xmax = max(xmax)
-        ymax = max(ymax)
+        xmax, ymax = auto_limits(x, y)
 
     if args.x_max is not None:
         xmax = args.x_max

@@ -129,3 +129,45 @@ def test_spectra_cn_auto_limits_match_reference_formula():
         # and a nonzero mincov drops the error-row discount
         nm3, _b3, clr3 = select_bands(matrix, 1, 6, True)
         assert auto_limits(nm3, 1, clr3) == ref_limits(nm3, 1, clr3)
+
+
+def test_spectra_hist_auto_limits_match_reference_formula():
+    """Numeric pin of the spectra-hist 99.9%-volume axis heuristic on
+    the kat.hist fixture: ymax must be 1.1x the golden peak (229, 9762)
+    the SpectraHelper tests pin, and xmax the first 99.9%-volume
+    frequency — both checked against an in-test oracle of the reference
+    formula (scripts/kat/plot/spectra_hist.py:84-103)."""
+    import numpy as np
+
+    from kat_tpu.plot.misc import readheader
+    from kat_tpu.plot.spectra_hist import auto_limits
+
+    def ref_limits(xs, ys):
+        def ref_findpeaks(a):
+            a = np.squeeze(np.asarray(a))
+            ad = np.sign(np.diff(a))
+            ad[ad == 0] = 1
+            return np.where(np.diff(ad) == -2)[0] + 1
+
+        xmax = list(map(len, xs))
+        ysum = list(map(np.sum, ys))
+        ymax = list(map(np.max, ys))
+        for i in range(len(xs)):
+            peakx = ref_findpeaks(ys[i])
+            peakx = peakx[peakx != 1]
+            peaky = ys[i][peakx]
+            for j in range(1, xmax[i], int(xmax[i] / 1000) + 1):
+                if np.sum(ys[i][:j]) >= ysum[i] * 0.999:
+                    xmax[i] = j
+                    break
+            if peaky.size:
+                ymax[i] = np.max(peaky) * 1.1
+        return max(xmax), max(ymax)
+
+    with open("/root/reference/tests/data/kat.hist") as f:
+        readheader(f)
+        m = np.loadtxt(f)
+    xs, ys = [m[:, 0]], [m[:, 1]]
+    got = auto_limits(xs, ys)
+    ref = ref_limits(xs, ys)
+    assert got == ref == (342, 9762 * 1.1)
