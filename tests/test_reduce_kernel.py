@@ -256,8 +256,7 @@ def _lsm_table_dict(t):
     return dict(zip(((hi << np.uint64(32)) | lo).tolist(), c.tolist()))
 
 
-@pytest.mark.parametrize("lsm_runs", [1, 2, 3])
-def test_lsm_multi_run_tables_interpret(monkeypatch, lsm_runs):
+def test_lsm_multi_run_tables_interpret(monkeypatch):
     """LSM mode (per-flush sorted runs, consolidation merge deferred)
     must match the non-LSM path exactly, for any run budget."""
     from kat_tpu.core import counting
@@ -277,11 +276,11 @@ def test_lsm_multi_run_tables_interpret(monkeypatch, lsm_runs):
     counting.kernels_enabled.cache_clear()
     try:
         want = run(0)         # fused per-flush table merge
-        got = run(lsm_runs)   # deferred LSM consolidation
+        for lsm_runs in (1, 2, 3):
+            assert run(lsm_runs) == want, lsm_runs
     finally:
         monkeypatch.delenv("KAT_TPU_KERNEL")
         counting.kernels_enabled.cache_clear()
-    assert got == want
 
 
 def test_lsm_growth_replay_interpret(monkeypatch):
