@@ -259,12 +259,21 @@ def _run_child(init_timeout: float, total_timeout: float):
         with lock:
             inited = state["init"]
             stage = state["stage"]
+            captured = state["json"]
+        if captured is not None:
+            # result already printed: don't lose it to a child that
+            # hangs in teardown (a documented wedged-tunnel mode)
+            _kill(proc)
+            return captured, None, stage
         if not inited and elapsed > init_timeout:
             _kill(proc)
             return None, (f"backend init timed out after {init_timeout:.0f}s"
                           " (TPU tunnel down?)"), stage
         if elapsed > total_timeout:
             _kill(proc)
+            with lock:
+                if state["json"] is not None:
+                    return state["json"], None, stage
             return None, f"benchmark timed out after {total_timeout:.0f}s", \
                 stage
         time.sleep(1.0)

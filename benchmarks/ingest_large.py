@@ -77,7 +77,10 @@ def main() -> None:
     ap.add_argument("--reads", type=int, default=4_000_000,
                     help="reads per mate file (4M => ~2x0.3GB gz, "
                          "~1.2GB text each)")
-    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--clean", action="store_true",
+                    help="delete the generated dataset afterwards "
+                         "(default keeps it for reuse — generation is "
+                         "the slowest part)")
     args = ap.parse_args()
 
     from kat_tpu.core import counting
@@ -123,7 +126,7 @@ def main() -> None:
         "batch_shapes": batch_shapes,
     }), flush=True)
 
-    if not args.keep:
+    if args.clean:
         for p in paths:
             os.unlink(p)
 

@@ -70,10 +70,17 @@ def worker(pid: int, nproc: int, dev_per_proc: int, port: int) -> None:
         sc = ShardedCounter(mesh, K, shard_capacity=1 << 18,
                             route_slack=8.0, flush_batches=1,
                             route_identity=route_identity)
+        def sync():
+            # fetch only the ADDRESSABLE shards: np.asarray on a global
+            # mesh-sharded array raises for non-addressable devices in
+            # multi-process runs
+            for s in sc.n_unique.addressable_shards:
+                _ = np.asarray(s.data)
+
         # warmup: one batch through the full compiled path
         sc.add_codes(batch(1000 * (pid + 1)))
         sc.flush()
-        _ = np.asarray(sc.n_unique)  # sync
+        sync()
 
         steps = []
         t0 = time.perf_counter()
@@ -81,7 +88,7 @@ def worker(pid: int, nproc: int, dev_per_proc: int, port: int) -> None:
             ts = time.perf_counter()
             sc.add_codes(batch(1000 * (pid + 1) + i + 1))
             sc.flush()
-            _ = np.asarray(sc.n_unique)  # per-step sync
+            sync()  # per-step sync
             steps.append(time.perf_counter() - ts)
         if route_identity:
             return time.perf_counter() - t0, steps, None

@@ -89,9 +89,9 @@ def main() -> None:
     if "probe" not in skip:
         rec = run_step("probe", [py, "benchmarks/probe_pool.py"], 300)
         record("probe", rec)
-        if "HEALTHY" not in str(rec.get("last_line", "")) and \
-                rec.get("rc") != 0:
-            print("pool probe failed — tunnel likely still down; "
+        if rec.get("rc") != 0 or \
+                "HEALTHY" not in str(rec.get("last_line", "")):
+            print("pool probe not healthy — tunnel down or degraded; "
                   "continuing anyway (bench has its own watchdog)",
                   flush=True)
 
@@ -100,17 +100,21 @@ def main() -> None:
                run_step("verify", [py, "benchmarks/verify_kernels_tpu.py"],
                         1200))
 
+    # bench's own watchdog envelope is 2400s/attempt + one retry; the
+    # outer bound must exceed it so the structured failure JSON (or a
+    # slow success) is never SIGKILLed mid-retry
+    BENCH_T = 5200
     if "bench" not in skip:
         record("bench_default", run_step(
-            "bench", [py, "bench.py"], 3000))
+            "bench", [py, "bench.py"], BENCH_T))
 
     if "ab" not in skip:
         record("bench_no_static_q", run_step(
-            "bench", [py, "bench.py"], 3000,
+            "bench", [py, "bench.py"], BENCH_T,
             {"KAT_TPU_SORT_STATIC_Q": "0",
              "KAT_TPU_BENCH_NO_VERIFY": "1"}))
         record("bench_no_lsm", run_step(
-            "bench", [py, "bench.py"], 3000,
+            "bench", [py, "bench.py"], BENCH_T,
             {"KAT_TPU_LSM_RUNS": "0", "KAT_TPU_BENCH_NO_VERIFY": "1"}))
 
     if "sharded" not in skip:

@@ -115,6 +115,19 @@ def load_table(path: str) -> tuple[
 
 
 def load_shard(path: str, shard: int) -> tuple[np.ndarray, np.ndarray]:
-    """(keys, counts) of one shard — for direct per-device placement."""
+    """(keys, counts) of one shard — for direct per-device placement.
+
+    Refuses checkpoints partitioned under a different ownership rule
+    (e.g. version-2 raw-key-hash checkpoints): placing those directly
+    would silently route lookups to the wrong shards.  `load_table`
+    stays lenient — it concatenates every shard, so placement never
+    matters there."""
+    m = load_manifest(path)
+    if m.get("n_shards", 1) > 1 and m.get("shard_hash") != SHARD_HASH_ID:
+        raise ValueError(
+            f"checkpoint {path} was partitioned with "
+            f"shard_hash={m.get('shard_hash')!r} (expected "
+            f"{SHARD_HASH_ID!r}); direct shard placement would mis-route "
+            "— load with load_table() and re-save to re-partition")
     z = np.load(os.path.join(path, f"shard_{shard:05d}.npz"))
     return z["keys"], z["counts"]

@@ -73,14 +73,39 @@ class _GenStream(io.RawIOBase):
     def close(self) -> None:
         if self.closed:
             return
+        import subprocess
+
         try:
             self._f.close()
-            rc = self._proc.wait()
-            if self._saw_eof and rc != 0:
+            try:
+                # bounded: a command that blocks without writing never
+                # receives SIGPIPE and would hang an unbounded wait
+                rc = self._proc.wait(timeout=10 if self._saw_eof else 2)
+            except subprocess.TimeoutExpired:
+                self._proc.kill()
+                self._proc.wait()
+                rc = None  # we killed it; not the command's failure
+            if self._saw_eof and rc not in (0, None):
                 raise RuntimeError(
                     f"generator command failed (exit {rc}): {self._cmd}")
         finally:
             super().close()
+
+
+class _OwningGzipFile(gzip.GzipFile):
+    """GzipFile that CLOSES the fileobj it wraps: the stdlib leaves
+    passed-in file objects open, which would skip _GenStream's child
+    reaping / exit-status check for gzipped generator streams."""
+
+    def __init__(self, underlying):
+        super().__init__(fileobj=underlying)
+        self._underlying = underlying
+
+    def close(self) -> None:
+        try:
+            super().close()
+        finally:
+            self._underlying.close()
 
 
 class _PushbackReader(io.RawIOBase):
@@ -148,7 +173,7 @@ def _open_text(path: str) -> io.BufferedReader:
     magic = _read_at_least(raw, 2)
     f = io.BufferedReader(_PushbackReader(magic, raw))
     if magic[:2] == b"\x1f\x8b":
-        return io.BufferedReader(gzip.GzipFile(fileobj=f))  # type: ignore
+        return io.BufferedReader(_OwningGzipFile(f))  # type: ignore
     return f
 
 

@@ -521,12 +521,9 @@ def bitonic_merge_runs(planes, n_key_words: int, run_len: int,
     if run_len >= n:
         return tuple(planes)
     n_runs = n // run_len
-    br = block_rows
-    while br > 8 and (n < 2 * br * LANES or run_len < br * LANES):
-        br //= 2
+    br, ok = _runs_geometry(n, run_len, block_rows)
     bs = br * LANES
-    if (n % bs or run_len % bs or n & (n - 1)
-            or run_len & (run_len - 1)):
+    if not ok:
         raise ValueError(
             f"n={n}, run_len={run_len} must be pow2 multiples of {bs}")
     nb = n // bs
@@ -574,18 +571,27 @@ def bitonic_merge_runs(planes, n_key_words: int, run_len: int,
     return tuple(a.reshape(-1) for a in arrs)
 
 
+def _runs_geometry(n: int, run_len: int,
+                   block_rows: int) -> tuple[int, bool]:
+    """(shrunk block_rows, geometry ok) for an n-element stream of
+    run_len-sized runs — the single source of truth shared by
+    bitonic_merge_runs and merge_runs_supported."""
+    br = block_rows
+    while br > 8 and (n < 2 * br * LANES or run_len < br * LANES):
+        br //= 2
+    bs = br * LANES
+    ok = not (n % bs or run_len % bs or n & (n - 1)
+              or run_len & (run_len - 1))
+    return br, ok
+
+
 def merge_runs_supported(n: int, run_len: int, block_rows: int = 512
                          ) -> bool:
     """Can `bitonic_merge_runs` handle this geometry (else the caller
     full-sorts)?"""
     if run_len >= n:
         return True
-    br = block_rows
-    while br > 8 and (n < 2 * br * LANES or run_len < br * LANES):
-        br //= 2
-    bs = br * LANES
-    return not (n % bs or run_len % bs or n & (n - 1)
-                or run_len & (run_len - 1))
+    return _runs_geometry(n, run_len, block_rows)[1]
 
 
 def sort_planes_padded(planes, n_key_words: int, block_rows: int = 512,

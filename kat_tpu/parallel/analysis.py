@@ -214,10 +214,9 @@ class ShardedLookup:
     layout.  Sentinel queries return 0.
     """
 
-    def __init__(self, counter: ShardedCounter, slack: float = 4.0):
+    def __init__(self, counter: ShardedCounter):
         counter.check()
         self.c = counter
-        self.slack = float(slack)
         self._fns: dict = {}
 
     def _fn(self, per_dev: int, qcap: int):

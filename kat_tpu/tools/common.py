@@ -62,25 +62,28 @@ def glob_files(spec: str | list[str]) -> list[str]:
     """Glob expansion mirroring InputHandler::globFiles (input_handler.cc:
     245-316): space-separated patterns, tilde + brace expansion, NOCHECK
     (pattern kept verbatim when nothing matches)."""
-    if isinstance(spec, str):
-        patterns = spec.split(" ")
-    else:
+    elements = [spec] if isinstance(spec, str) else list(spec)
+    out: list[str] = []
+    for el in elements:
+        if fastx.is_generator_path(el):
+            # a gen:<shell command> is opaque: the command may contain
+            # spaces/globs that belong to the SHELL, not to this group
+            out.append(el)
+            continue
         # each element may itself hold space-separated patterns (the
         # reference passes one quoted "file1 file2" positional through
         # boost::po and splits inside globFiles)
-        patterns = [p for el in spec for p in el.split(" ")]
-    out: list[str] = []
-    for raw in patterns:
-        if not raw:
-            continue
-        matched_any = False
-        for pat in brace_expand(os.path.expanduser(raw)):
-            hits = sorted(_glob.glob(pat))
-            if hits:
-                out.extend(hits)
-                matched_any = True
-        if not matched_any:
-            out.append(raw)
+        for raw in el.split(" "):
+            if not raw:
+                continue
+            matched_any = False
+            for pat in brace_expand(os.path.expanduser(raw)):
+                hits = sorted(_glob.glob(pat))
+                if hits:
+                    out.extend(hits)
+                    matched_any = True
+            if not matched_any:
+                out.append(raw)
     if not out:
         raise ValueError("No input provided for this input group")
     return out

@@ -156,3 +156,31 @@ def test_generator_success_reaps_child(tmp_path):
 
     recs = list(fastx.read_records("gen:printf '>r1\\nACGTACGT\\n'"))
     assert len(recs) == 1 and recs[0].seq == b"ACGTACGT"
+
+
+def test_gzipped_generator_failure_raises(tmp_path):
+    """Failure surfacing must survive the gzip wrapper: GzipFile keeps
+    passed-in fileobjs open, which previously skipped the gen: exit
+    check entirely for compressed streams."""
+    import gzip as _gzip
+
+    import pytest
+
+    from kat_tpu.io import fastx
+
+    p = tmp_path / "r.fa.gz"
+    p.write_bytes(_gzip.compress(b">r1\nACGTACGT\n"))
+    ok = list(fastx.read_records(f"gen:cat {p}"))
+    assert ok[0].seq == b"ACGTACGT"
+    with pytest.raises(RuntimeError, match="generator command failed"):
+        list(fastx.read_records(f"gen:cat {p}; exit 3"))
+
+
+def test_cli_generator_command_with_spaces(tmp_path):
+    """gen:<cmd with spaces> through the CLI input group: the command is
+    opaque to glob/space splitting (it previously shattered into fake
+    file paths)."""
+    from kat_tpu.tools.common import glob_files
+
+    assert glob_files("gen:gzip -c a.fq.gz") == ["gen:gzip -c a.fq.gz"]
+    assert glob_files(["gen:cat a b", "x.fa"]) == ["gen:cat a b", "x.fa"]
