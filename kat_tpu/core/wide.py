@@ -133,13 +133,22 @@ class WideCodeStreamingCounter:
     def __init__(self, k: int, canonical: bool = True,
                  initial_capacity: int = 1 << 20,
                  max_capacity: int = 1 << 30, disable_grow: bool = False,
-                 flush_batches: int = 16):
+                 flush_batches: int = 16, lsm_runs: int | None = None):
+        from .counting import kernels_enabled
+
         self.k = k
         self.canonical = canonical
         self.capacity = int(initial_capacity)
         self.max_capacity = int(max_capacity)
         self.disable_grow = disable_grow
         self.flush_batches = int(flush_batches)
+        if lsm_runs is None:
+            env = os.environ.get("KAT_TPU_LSM_RUNS")
+            if env is not None:
+                lsm_runs = int(env)
+            else:
+                lsm_runs = 3 if kernels_enabled() else 0
+        self.lsm_runs = int(lsm_runs)
         self.n_words = words_for_k(k)
         self.table = empty_table(self.capacity, self.n_words)
         self._codes: list = []
@@ -147,6 +156,12 @@ class WideCodeStreamingCounter:
         self._flush_fns: dict = {}
         # deferred overflow check — see counting.CodeStreamingCounter
         self._unchecked: tuple | None = None
+        # LSM mode (see counting.CodeStreamingCounter): pending sorted
+        # runs, each (words tuple, counts, n_unique)
+        self._runs: list = []
+        self._run_fns: dict = {}
+        self._consol_fns: dict = {}
+        self._consol_unchecked: tuple | None = None
 
     def add_codes(self, codes) -> None:
         if not isinstance(codes, jax.Array):
@@ -231,6 +246,94 @@ class WideCodeStreamingCounter:
             self._flush_fns[key] = fused
         return self._flush_fns[key]
 
+    def _run_fn(self, b: int, rows: int, length: int, cap: int):
+        """LSM mode: extract + sort + reduce the fresh windows only (see
+        counting.CodeStreamingCounter._run_fn)."""
+        key = (b, rows, length, cap)
+        if key not in self._run_fns:
+            from ..ops.reduce_kernel import reduce_compact_sorted
+            from ..ops.sort_kernel import sort_planes_padded
+            from .counting import _kernel_interpret
+
+            k = self.k
+            canonical = self.canonical
+            nw = self.n_words
+            interp = _kernel_interpret()
+            use_sort_kernel = not os.environ.get("KAT_TPU_NO_SORT_KERNEL")
+
+            @jax.jit
+            def run(codes):
+                words, _valid = extract_kmers_wide(
+                    codes.reshape(-1, length), k, canonical)
+                flat = tuple(wd.reshape(-1) for wd in words)
+                if use_sort_kernel:
+                    fw_sorted = sort_planes_padded(flat, nw,
+                                                   interpret=interp)
+                else:
+                    fw_sorted = jax.lax.sort(flat, num_keys=nw)
+                real = jnp.zeros(fw_sorted[0].shape, jnp.bool_)
+                for wd in fw_sorted:
+                    real = real | (wd != SENTINEL)
+                return reduce_compact_sorted(
+                    tuple(fw_sorted), real.astype(jnp.uint32), cap,
+                    interpret=interp)
+
+            self._run_fns[key] = run
+        return self._run_fns[key]
+
+    def _merge_runs(self, table: WideTable, runs: list,
+                    cap: int) -> WideTable:
+        """Consolidate table + pending runs (see counting._merge_runs)."""
+        nw = self.n_words
+        arrays = [(*table.words, table.counts)]
+        arrays += [(*r[0], r[1]) for r in runs]
+        lens = tuple(a[0].shape[0] for a in arrays)
+        key = (lens, cap)
+        if key not in self._consol_fns:
+            from ..ops.reduce_kernel import reduce_compact_sorted
+            from ..ops.sort_kernel import (bitonic_merge_runs,
+                                           merge_runs_supported,
+                                           sort_planes_padded)
+            from .counting import _kernel_interpret
+
+            interp = _kernel_interpret()
+            R = len(lens)
+            Rp = 1 << max(0, int(np.ceil(np.log2(R))))
+            supported = merge_runs_supported(Rp * cap, cap)
+
+            @jax.jit
+            def consol(*flat):
+                planes = [[] for _ in range(nw + 1)]
+                for i in range(R):
+                    group = flat[(nw + 1) * i:(nw + 1) * (i + 1)]
+                    pad = cap - group[0].shape[0]
+                    for j, a in enumerate(group):
+                        if pad:
+                            fill = SENTINEL if j < nw else 0
+                            a = jnp.concatenate(
+                                [a, jnp.full((pad,), fill, jnp.uint32)])
+                        planes[j].append(a)
+                for _ in range(Rp - R):
+                    for j in range(nw + 1):
+                        fill = SENTINEL if j < nw else 0
+                        planes[j].append(
+                            jnp.full((cap,), fill, jnp.uint32))
+                cat = [jnp.concatenate(p) for p in planes]
+                if supported:
+                    merged = bitonic_merge_runs(tuple(cat), nw, cap,
+                                                interpret=interp)
+                else:
+                    merged = sort_planes_padded(tuple(cat), nw,
+                                                interpret=interp)
+                return reduce_compact_sorted(
+                    tuple(merged[:nw]), merged[nw], cap,
+                    interpret=interp)
+
+            self._consol_fns[key] = consol
+        flat = [a for r in arrays for a in r]
+        out = self._consol_fns[key](*flat)
+        return WideTable(tuple(out[:nw]), out[nw], out[nw + 1])
+
     def _flush(self) -> None:
         if not self._codes:
             return
@@ -247,44 +350,108 @@ class WideCodeStreamingCounter:
         self._codes = []
         self._shape = None
         self._check_overflow()
+        from .counting import kernels_enabled
+
+        if self.lsm_runs > 0 and kernels_enabled():
+            fn = self._run_fn(target_b, rows, length, self.capacity)
+            out = fn(stack)
+            self._runs.append((tuple(out[:self.n_words]),
+                               out[self.n_words], out[self.n_words + 1]))
+            self._unchecked = ("run", stack, target_b, rows, length)
+            try:
+                out[self.n_words + 1].copy_to_host_async()
+            except AttributeError:
+                pass
+            if len(self._runs) >= self.lsm_runs:
+                self._consolidate()
+            return
         fn = self._flush_fn(target_b, rows, length, self.capacity)
         *ws, cw, n_unique = fn(self.table, stack)
         # optimistic commit; overflow check deferred one flush so the host
         # never blocks on n_unique mid-stream (counting.py has the full
         # rationale)
-        self._unchecked = (self.table, stack, target_b, rows, length)
+        self._unchecked = ("table", self.table, stack, target_b, rows,
+                           length)
         self.table = WideTable(tuple(ws), cw, n_unique)
         try:  # overlap the scalar's slow tunnel trip with the next flush
             n_unique.copy_to_host_async()
         except AttributeError:
             pass
 
+    def _grow(self) -> None:
+        if self.disable_grow or self.capacity * 2 > self.max_capacity:
+            from .counting import TableFullError
+
+            raise TableFullError(
+                f"Count table full at capacity {self.capacity}")
+        self.capacity *= 2
+
     def _check_overflow(self) -> None:
         if self._unchecked is None:
             return
-        prev, stack, target_b, rows, length = self._unchecked
+        kind, *rest = self._unchecked
         self._unchecked = None
+        if kind == "run":
+            stack, target_b, rows, length = rest
+            while int(self._runs[-1][2]) > self.capacity:
+                self._grow()
+                fn = self._run_fn(target_b, rows, length, self.capacity)
+                out = fn(stack)
+                self._runs[-1] = (tuple(out[:self.n_words]),
+                                  out[self.n_words],
+                                  out[self.n_words + 1])
+            return
+        prev, stack, target_b, rows, length = rest
         while int(self.table.n_unique) > self.capacity:
-            if self.disable_grow or self.capacity * 2 > self.max_capacity:
-                from .counting import TableFullError
-
-                raise TableFullError(
-                    f"Count table full at capacity {self.capacity}")
-            self.capacity *= 2
+            self._grow()
             prev = _grow_table(prev, self.capacity)
             fn = self._flush_fn(target_b, rows, length, self.capacity)
             *ws, cw, n_unique = fn(prev, stack)
             self.table = WideTable(tuple(ws), cw, n_unique)
 
+    def _consolidate(self) -> None:
+        self._check_overflow()
+        if not self._runs:
+            return
+        self._check_consol()
+        runs = self._runs
+        self._runs = []
+        prev_table = self.table
+        self.table = self._merge_runs(prev_table, runs, self.capacity)
+        self._consol_unchecked = (prev_table, runs)
+        try:
+            self.table.n_unique.copy_to_host_async()
+        except AttributeError:
+            pass
+
+    def _check_consol(self) -> None:
+        if self._consol_unchecked is None:
+            return
+        prev_table, runs = self._consol_unchecked
+        self._consol_unchecked = None
+        while int(self.table.n_unique) > self.capacity:
+            self._grow()
+            self.table = self._merge_runs(prev_table, runs, self.capacity)
+
+    def device_sync(self) -> int:
+        """See counting.CodeStreamingCounter.device_sync."""
+        if self._runs:
+            return int(self._runs[-1][2])
+        return int(self.table.n_unique)
+
     def current_table(self) -> WideTable:
         """Checked mid-stream accessor (see counting.CodeStreamingCounter
         .current_table)."""
         self._check_overflow()
+        self._consolidate()
+        self._check_consol()
         return self.table
 
     def finish(self) -> WideTable:
         self._flush()
         self._check_overflow()
+        self._consolidate()
+        self._check_consol()
         return self.table
 
 

@@ -337,3 +337,31 @@ def test_lsm_current_table_settles_pending(monkeypatch):
     finally:
         monkeypatch.delenv("KAT_TPU_KERNEL")
         counting.kernels_enabled.cache_clear()
+
+
+def test_lsm_wide_interpret(monkeypatch):
+    """Wide-key LSM mode matches the fused wide path exactly."""
+    from kat_tpu.core import counting, wide
+
+    rng = np.random.default_rng(21)
+    batches = [_random_codes(rng, 4, 96) for _ in range(5)]
+
+    def run(lsm):
+        sc = wide.WideCodeStreamingCounter(
+            41, canonical=True, initial_capacity=1 << 9, flush_batches=2,
+            lsm_runs=lsm)
+        for b in batches:
+            sc.add_codes(b)
+        t = sc.finish()
+        return ([np.asarray(w).tolist() for w in t.words],
+                np.asarray(t.counts).tolist(), int(t.n_unique))
+
+    monkeypatch.setenv("KAT_TPU_KERNEL", "1")
+    counting.kernels_enabled.cache_clear()
+    try:
+        want = run(0)
+        got = run(3)
+    finally:
+        monkeypatch.delenv("KAT_TPU_KERNEL")
+        counting.kernels_enabled.cache_clear()
+    assert got == want
