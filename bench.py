@@ -212,10 +212,12 @@ def _fail_json(error: str, stage: str) -> str:
     })
 
 
-def _run_child(init_timeout: float, total_timeout: float):
+def _run_child(init_timeout: float, total_timeout: float,
+               env_extra: dict | None = None):
     """One child attempt.  Returns (json_line | None, error | None, stage)."""
     env = dict(os.environ)
     env[_CHILD_ENV] = "1"
+    env.update(env_extra or {})
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
@@ -296,11 +298,27 @@ def main() -> None:
     total_timeout = float(os.environ.get("KAT_TPU_BENCH_TIMEOUT", 2400))
 
     line, err, stage = _run_child(init_timeout, total_timeout)
-    if line is None:
-        # one retry: transient tunnel blips recover; a down tunnel fails
-        # fast at the init bound again
+    if line is None and stage == "backend_init":
+        # tunnel blip: retry the same config; a down tunnel fails fast
+        # at the init bound again
         time.sleep(10)
         line, err, stage = _run_child(init_timeout, total_timeout)
+    elif line is None:
+        # the child got past init but died/hung mid-benchmark — retry
+        # with the CONSERVATIVE kernel config (round-2 behavior: no
+        # static-q build unroll, no LSM runs), the one combination that
+        # is fully chip-proven, and say so in the JSON
+        time.sleep(10)
+        line, err, stage = _run_child(
+            init_timeout, total_timeout,
+            {"KAT_TPU_SORT_STATIC_Q": "0", "KAT_TPU_LSM_RUNS": "0"})
+        if line is not None:
+            try:
+                rec = json.loads(line)
+                rec["config"] = "conservative-fallback"
+                line = json.dumps(rec)
+            except json.JSONDecodeError:
+                pass
     if line is not None:
         print(line, flush=True)
     else:
