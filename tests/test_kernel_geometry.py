@@ -209,3 +209,16 @@ def test_padded_sort_br512_sentinel_fill():
                              block_rows=512, interpret=True)
     assert out[0].shape[0] == n
     _check_sorted_pair(out, hi, lo)
+
+
+def test_sort_12_word_keys():
+    """12-word keys (k in (159, 191]) — the widest plane count a
+    k<=255 flush can reach is 16; 12 pins the generic-plane path."""
+    rng = np.random.default_rng(12)
+    n = 2048
+    words = [rng.integers(0, 4, n).astype(np.uint32) for _ in range(12)]
+    out = bitonic_sort_planes(tuple(jnp.asarray(w) for w in words), 12,
+                              block_rows=8, interpret=True)
+    order = np.lexsort(tuple(words[::-1]))
+    for w, o in zip(words, out):
+        assert np.array_equal(np.asarray(o), w[order])
