@@ -312,7 +312,9 @@ class ShardedCounter:
                  route_slack: float = 2.0,
                  flush_batches: int = 16,
                  use_kernel: bool | None = None,
-                 route_identity: bool = False):
+                 route_identity: bool = False,
+                 disable_grow: bool = False,
+                 max_capacity: int = 1 << 30):
         self.mesh = mesh
         self.axis_names = tuple(mesh.axis_names)
         self.k = k
@@ -322,6 +324,8 @@ class ShardedCounter:
         self.shard_capacity = int(shard_capacity)
         self.route_slack = float(route_slack)
         self.flush_batches = int(flush_batches)
+        self.disable_grow = bool(disable_grow)
+        self.max_capacity = int(max_capacity)
 
         mesh_platform = mesh.devices.flat[0].platform
         on_tpu = mesh_platform in ("tpu", "axon")
@@ -362,18 +366,30 @@ class ShardedCounter:
         self._codes: list = []
         self._shape: tuple | None = None
         self._flush_fns: dict = {}
+        self._pad_fns: dict = {}
+        # the ONE flush whose overflow/drop status has not been fetched
+        # yet: (pre-flush state, codes, b, rows, length) — kept so an
+        # overflowing flush REPLAYS in place at doubled capacity/slack
+        # instead of forcing the caller to recount the whole stream
+        # (the observable behaviour of hash_counter.hpp:204-244's
+        # in-place cooperative resize)
+        self._pending: tuple | None = None
+
+    def _route_cap(self, b: int, rows: int, length: int) -> int:
+        windows_local = b * (rows // self.n) * (length - self.k + 1)
+        route_cap = int(np.ceil(
+            windows_local / self.n * self.route_slack))
+        route_cap = max(min(route_cap, windows_local), 1)
+        if self.use_kernel:
+            # pow2 run length lets the arrival merge run as log2(n)
+            # bitonic phases instead of a full sort
+            route_cap = _next_pow2(route_cap)
+        return min(route_cap, windows_local)
 
     def _flush_fn(self, b: int, rows: int, length: int):
-        key = (b, rows, length)
+        route_cap = self._route_cap(b, rows, length)
+        key = (b, rows, length, self.shard_capacity, route_cap)
         if key not in self._flush_fns:
-            windows_local = b * (rows // self.n) * (length - self.k + 1)
-            route_cap = int(np.ceil(
-                windows_local / self.n * self.route_slack))
-            route_cap = max(min(route_cap, windows_local), 1)
-            if self.use_kernel:
-                # pow2 run length lets the arrival merge run as log2(n)
-                # bitonic phases instead of a full sort
-                route_cap = _next_pow2(route_cap)
             spec = self._tspec
             nspec = P(spec[0])
             nw = self.n_words
@@ -391,9 +407,30 @@ class ShardedCounter:
                 in_specs=(spec,) * b + (spec,) * (nw + 1) + (nspec, P()),
                 out_specs=(spec,) * (nw + 1) + (nspec, nspec, P()),
                 check_vma=False)
-            self._flush_fns[key] = jax.jit(
-                fn, donate_argnums=tuple(range(b, b + nw + 3)))
+            # no donation: the pre-flush table must survive one flush so
+            # an overflow can replay in place
+            self._flush_fns[key] = jax.jit(fn)
         return self._flush_fns[key]
+
+    def _pad_tables(self, twords, tc, new_cap: int):
+        """Grow [n, cap] shard tables to [n, new_cap] (sentinel/zero
+        fill) on device, preserving the mesh sharding."""
+        old_cap = twords[0].shape[1]
+        key = (old_cap, new_cap)
+        if key not in self._pad_fns:
+            pad = new_cap - old_cap
+
+            @functools.partial(jax.jit, static_argnames=("fill",),
+                               out_shardings=self._tsharding)
+            def padf(x, fill):
+                return jnp.concatenate(
+                    [x, jnp.full((x.shape[0], pad), fill, x.dtype)],
+                    axis=1)
+
+            self._pad_fns[key] = padf
+        padf = self._pad_fns[key]
+        return ([padf(tw, fill=int(SENTINEL)) for tw in twords],
+                padf(tc, fill=0))
 
     def _put(self, codes) -> jax.Array:
         """Pad rows to the mesh multiple and shard row-wise."""
@@ -440,19 +477,72 @@ class ShardedCounter:
             self.flush()
 
     def flush(self) -> None:
-        """Absorb every buffered batch into the resident shard tables."""
+        """Absorb every buffered batch into the resident shard tables.
+
+        Optimistic commit (same pattern as the single-chip counter): the
+        flush's overflow/drop scalars are fetched at the NEXT
+        flush/check, by which point they are already computed; on
+        overflow the flush replays from the kept pre-flush state at
+        doubled capacity (or route slack) — in place, no recount."""
         if not self._codes:
             return
+        self._settle()
         rows, length = self._shape
         b = len(self._codes)
         codes = self._codes
         self._codes = []
         self._shape = None
+        self._launch(codes, b, rows, length)
+
+    def _launch(self, codes, b: int, rows: int, length: int) -> None:
+        prev = (list(self.twords), self.tc, self.n_max, self._dropped)
         fn = self._flush_fn(b, rows, length)
         *outs, self.n_unique, self.n_max, self._dropped = fn(
             *codes, *self.twords, self.tc, self.n_max, self._dropped)
         self.twords = list(outs[:self.n_words])
         self.tc = outs[self.n_words]
+        self._pending = (prev, codes, b, rows, length)
+
+    def _grow_capacity(self) -> None:
+        if self.disable_grow or self.shard_capacity * 2 > self.max_capacity:
+            raise RuntimeError(
+                f"shard table overflow: unique keys > capacity "
+                f"{self.shard_capacity} and growth is "
+                f"{'disabled' if self.disable_grow else 'capped'}")
+        self.shard_capacity *= 2
+
+    def _settle(self) -> None:
+        """Fetch the deferred flush's status; replay in place on
+        overflow (capacity doubling) or routing drops (slack doubling)."""
+        if self._pending is None:
+            return
+        prev, codes, b, rows, length = self._pending
+        self._pending = None
+        prev_tw, prev_tc, prev_nmax, prev_dropped = prev
+        while True:
+            n_u = self._host_array(self.n_unique)
+            d_now = int(self._host_array(self._dropped))
+            d_prev = int(self._host_array(prev_dropped))
+            over_cap = bool((n_u > self.shard_capacity).any())
+            if not over_cap and d_now == d_prev:
+                return
+            if over_cap:
+                self._grow_capacity()
+                prev_tw, prev_tc = self._pad_tables(
+                    prev_tw, prev_tc, self.shard_capacity)
+            if d_now > d_prev:
+                windows_local = (b * (rows // self.n)
+                                 * (length - self.k + 1))
+                if self._route_cap(b, rows, length) >= windows_local:
+                    raise RuntimeError(
+                        f"{d_now - d_prev} k-mers dropped in routing at "
+                        "maximum route capacity")  # cannot happen
+                self.route_slack *= 2
+            fn = self._flush_fn(b, rows, length)
+            *outs, self.n_unique, self.n_max, self._dropped = fn(
+                *codes, *prev_tw, prev_tc, prev_nmax, prev_dropped)
+            self.twords = list(outs[:self.n_words])
+            self.tc = outs[self.n_words]
 
     def _host_array(self, arr) -> np.ndarray:
         """Full host copy of a mesh-sharded array (allgather across
@@ -466,6 +556,8 @@ class ShardedCounter:
 
     def check(self) -> None:
         self.flush()
+        self._settle()
+        # backstops only — _settle replays every overflow in place
         dropped = int(self._host_array(self._dropped))
         if dropped:
             raise RuntimeError(

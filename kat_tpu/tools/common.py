@@ -242,11 +242,16 @@ class Input:
         mesh = make_mesh(n_dev)
         shard_cap = _next_pow2(max(self.hash_size // n_dev, 1 << 16))
         slack = 4.0
+        # growth normally happens IN PLACE inside the counter (overflow
+        # replays the deferred flush at doubled capacity/slack); this
+        # outer restart loop survives only as a belt-and-braces fallback
+        # and for the disable_grow raise path.
         while True:
             sc = ShardedCounter(mesh, self.mer_len,
                                 canonical=self.canonical,
                                 shard_capacity=shard_cap,
-                                route_slack=slack)
+                                route_slack=slack,
+                                disable_grow=self.disable_grow)
             try:
                 for batch in self._code_batches():
                     sc.add_codes(batch)

@@ -100,12 +100,43 @@ def test_sharded_wide_counts_match_oracle(batches):
     assert got == dict(want)
 
 
-def test_route_overflow_detected(batches):
+def test_route_overflow_recovers_in_place(batches):
+    """A hopeless route_slack drops k-mers on the first attempt; the
+    deferred-flush replay doubles the slack IN PLACE (no recount) until
+    nothing drops — final counts exact."""
     seqs, code_batches = batches
     mesh = make_mesh(8)
     sc = ShardedCounter(mesh, k=13, shard_capacity=1 << 12,
                         route_slack=0.01)
     for b in code_batches:
         sc.add_codes(b)
-    with pytest.raises(RuntimeError, match="dropped in routing"):
+    sc.check()
+    assert sc.route_slack > 0.01  # grew
+    keys, counts = counting.table_to_numpy(sc.finish())
+    got = dict(zip(keys.tolist(), counts.tolist()))
+    assert got == dict(_oracle_counts(seqs, 13))
+
+
+def test_capacity_overflow_recovers_in_place(batches):
+    seqs, code_batches = batches
+    mesh = make_mesh(8)
+    sc = ShardedCounter(mesh, k=13, shard_capacity=1 << 4,
+                        route_slack=8.0)
+    for b in code_batches:
+        sc.add_codes(b)
+    sc.check()
+    assert sc.shard_capacity > 1 << 4  # grew in place
+    keys, counts = counting.table_to_numpy(sc.finish())
+    got = dict(zip(keys.tolist(), counts.tolist()))
+    assert got == dict(_oracle_counts(seqs, 13))
+
+
+def test_disable_grow_raises(batches):
+    seqs, code_batches = batches
+    mesh = make_mesh(8)
+    sc = ShardedCounter(mesh, k=13, shard_capacity=1 << 4,
+                        route_slack=8.0, disable_grow=True)
+    with pytest.raises(RuntimeError, match="overflow"):
+        for b in code_batches:
+            sc.add_codes(b)
         sc.check()

@@ -118,20 +118,35 @@ def test_kernel_histogram_matches_xla_path(seqs):
     np.testing.assert_array_equal(hk, sx.histogram(1, 101, 1, 102))
 
 
-def test_overflow_detected_across_flushes():
-    """A mid-stream flush overflow must be caught by check() even if the
-    FINAL flush's n_unique is back under capacity (n_max carry)."""
+def test_overflow_across_flushes_recovers_in_place():
+    """A mid-stream flush overflow replays IN PLACE at doubled capacity
+    (deferred one flush, like the single-chip optimistic commit); with
+    growth disabled it raises instead of silently truncating."""
     rng = np.random.default_rng(5)
     mesh = make_mesh(8)
     cap = 1 << 7
+    codes = rng.integers(0, 4, size=(64, 80), dtype=np.uint8)
+
     sc = ShardedCounter(mesh, k=19, shard_capacity=cap, route_slack=8.0,
                         flush_batches=1, use_kernel=False)
-    # enough distinct k-mers to overflow 8 * 128 slots
-    codes = rng.integers(0, 4, size=(64, 80), dtype=np.uint8)
     sc.add_codes(codes)
     sc.flush()
-    # second flush re-adds the SAME data: uniques in the (truncated)
-    # table + repeats stay near cap, but n_max still remembers
-    sc.add_codes(codes)
+    sc.add_codes(codes)  # settles + replays flush 1 before flush 2
+    sc.check()
+    assert sc.shard_capacity > cap
+    # counts exact: every window of the doubled data counted twice
+    keys, counts = counting.table_to_numpy(sc.finish())
+    from kat_tpu.core.kmers import unpack_string
+    want = oracle.count_seqs(
+        ["".join("ACGT"[c] for c in row) for row in codes], 19)
+    got = dict(zip(keys.tolist(), counts.tolist()))
+    assert got == {k: 2 * v for k, v in want.items()}
+
+    sc2 = ShardedCounter(mesh, k=19, shard_capacity=cap, route_slack=8.0,
+                         flush_batches=1, use_kernel=False,
+                         disable_grow=True)
     with pytest.raises(RuntimeError, match="overflow"):
-        sc.check()
+        sc2.add_codes(codes)
+        sc2.flush()
+        sc2.add_codes(codes)
+        sc2.check()
