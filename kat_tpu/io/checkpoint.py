@@ -114,6 +114,132 @@ def load_table(path: str) -> tuple[
     return counting.table_from_numpy(keys, counts, capacity=cap), m
 
 
+def save_sharded_counter(path: str, counter) -> None:
+    """Checkpoint a live mesh-sharded counter WITHOUT host-merging the
+    table: each process writes only its addressable shards (one .npz per
+    shard, keys in each shard's resident sorted order), process 0 writes
+    the manifest.  Because shards are written under the counter's own
+    canonical-hash ownership, `load_sharded_counter` places them back on
+    a same-size mesh with zero re-routing.
+
+    Reference role: the .jf dump is the reference's checkpoint (SURVEY
+    §5); this is its multi-device-native counterpart.
+    """
+    import jax
+
+    counter.check()
+    os.makedirs(path, exist_ok=True)
+    nw = counter.n_words
+    n_u_global = counter._host_array(counter.n_unique)
+
+    # each process persists its own addressable rows
+    my_shards = sorted(
+        s.index[0].start if s.index[0].start is not None else 0
+        for s in counter.tc.addressable_shards)
+    for sid in my_shards:
+        n_u = int(n_u_global[sid])
+        words = [np.asarray(
+            [sh.data for sh in tw.addressable_shards
+             if (sh.index[0].start or 0) == sid][0])[0, :n_u]
+            for tw in counter.twords]
+        cnts = np.asarray(
+            [sh.data for sh in counter.tc.addressable_shards
+             if (sh.index[0].start or 0) == sid][0])[0, :n_u]
+        if nw == 2:
+            keys = (words[0].astype(np.uint64) << np.uint64(32)) \
+                | words[1].astype(np.uint64)
+        else:
+            keys = np.stack([w.astype(np.uint32) for w in words], axis=1)
+        np.savez_compressed(os.path.join(path, f"shard_{sid:05d}.npz"),
+                            keys=keys, counts=cnts.astype(np.uint32))
+
+    if jax.process_index() == 0:
+        c_total = counter._host_array(counter.tc).astype(np.uint64)
+        with open(os.path.join(path, MANIFEST), "w") as f:
+            json.dump({
+                "format": "kat_tpu/count_table",
+                "version": 3,
+                "k": int(counter.k),
+                "canonical": bool(counter.canonical),
+                "n_shards": int(counter.n),
+                "shard_hash": SHARD_HASH_ID,
+                "key_words": int(nw),
+                "n_unique": int(n_u_global.sum()),
+                "total": int(c_total.sum()),
+            }, f, indent=2)
+    if counter.multiprocess:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("kat_tpu_checkpoint_save")
+
+
+def load_sharded_counter(path: str, mesh, **counter_kwargs):
+    """Resume a checkpoint as a live ShardedCounter with each shard
+    placed DIRECTLY on its owner device — no host merge, no re-routing
+    (requires n_shards == mesh device count and the canonical-hash
+    partition scheme; `load_table` is the lenient fallback)."""
+    import jax
+
+    from ..parallel.sharded import ShardedCounter
+
+    m = load_manifest(path)
+    n = int(np.prod(mesh.devices.shape))
+    if m["n_shards"] != n:
+        raise ValueError(
+            f"checkpoint has {m['n_shards']} shards but the mesh has {n} "
+            "devices; load with load_table() and recount, or re-save")
+    if m.get("shard_hash") != SHARD_HASH_ID:
+        raise ValueError(
+            f"checkpoint shard_hash {m.get('shard_hash')!r} != "
+            f"{SHARD_HASH_ID!r}: direct placement would mis-route")
+    nw = int(m.get("key_words", 2))
+
+    # capacity: pow2 covering the largest shard
+    sizes = []
+    for s in range(n):
+        z = np.load(os.path.join(path, f"shard_{s:05d}.npz"))
+        sizes.append(len(z["counts"]))
+    cap = 1 << max(4, int(np.ceil(np.log2(max(max(sizes), 2)))))
+
+    sc = ShardedCounter(mesh, int(m["k"]), canonical=bool(m["canonical"]),
+                        shard_capacity=cap, **counter_kwargs)
+
+    from ..core.kmers import SENTINEL as _S
+
+    def shard_words(sid: int):
+        z = np.load(os.path.join(path, f"shard_{sid:05d}.npz"))
+        keys, cnts = z["keys"], z["counts"]
+        if nw == 2:
+            ws = [(keys >> np.uint64(32)).astype(np.uint32),
+                  (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)]
+        else:
+            ws = [keys[:, i].astype(np.uint32) for i in range(nw)]
+        return ws, cnts.astype(np.uint32), len(cnts)
+
+    def filled(w_idx):
+        def piece(idx):
+            sid = idx[0].start or 0
+            ws, cnts, n_u = shard_words(sid)
+            if w_idx < nw:
+                row = np.full(cap, _S, np.uint32)
+                row[:n_u] = ws[w_idx]
+            else:
+                row = np.zeros(cap, np.uint32)
+                row[:n_u] = cnts
+            return row[None]
+
+        return jax.make_array_from_callback(
+            (n, cap), sc._tsharding, piece)
+
+    sc.twords = [filled(i) for i in range(nw)]
+    sc.tc = filled(nw)
+    sc.n_unique = jax.make_array_from_callback(
+        (n,), sc._nsharding,
+        lambda idx: np.asarray([sizes[idx[0].start or 0]], np.int32))
+    sc.n_max = sc.n_unique
+    return sc
+
+
 def load_shard(path: str, shard: int) -> tuple[np.ndarray, np.ndarray]:
     """(keys, counts) of one shard — for direct per-device placement.
 

@@ -195,3 +195,97 @@ def test_canonical_words_np_matches_oracle():
         want_ints = [kmers.canonical_int(v, k) for v in ints]
         want = wide_mod.ints_to_words(want_ints, n_words=nw)
         assert (got == want).all()
+
+
+def test_sharded_counter_checkpoint_roundtrip(tmp_path):
+    """Save a live mesh counter shard-by-shard (no host merge), resume
+    with direct per-device placement, and keep counting: tables,
+    histograms and routed lookups must match the uninterrupted run."""
+    from kat_tpu.io.checkpoint import (load_sharded_counter,
+                                       save_sharded_counter)
+    from kat_tpu.parallel.analysis import ShardedLookup
+    from kat_tpu.parallel.sharded import ShardedCounter, make_mesh
+
+    rng = random.Random(91)
+    seqs = ["".join(rng.choice("ACGT") for _ in range(90))
+            for _ in range(30)]
+    from kat_tpu.io import fastx
+
+    recs = [fastx.Record(f"s{i}", s.encode()) for i, s in enumerate(seqs)]
+    batches = list(fastx.encode_batches(iter(recs), 13,
+                                        target_codes=1 << 12))
+    mesh = make_mesh(8)
+
+    # uninterrupted reference run
+    ref = ShardedCounter(mesh, 13, shard_capacity=1 << 12,
+                         route_slack=8.0)
+    for b in batches:
+        ref.add_codes(b)
+    ref_hist = ref.histogram(1, 101, 1, 102)
+    ref_keys, ref_counts = counting.table_to_numpy(ref.finish())
+
+    # first half -> checkpoint -> resume -> second half
+    half = len(batches) // 2
+    c1 = ShardedCounter(mesh, 13, shard_capacity=1 << 12,
+                        route_slack=8.0)
+    for b in batches[:half]:
+        c1.add_codes(b)
+    save_sharded_counter(str(tmp_path / "ck"), c1)
+
+    c2 = load_sharded_counter(str(tmp_path / "ck"), mesh,
+                              route_slack=8.0)
+    for b in batches[half:]:
+        c2.add_codes(b)
+    np.testing.assert_array_equal(c2.histogram(1, 101, 1, 102), ref_hist)
+    keys, counts = counting.table_to_numpy(c2.finish())
+    assert dict(zip(keys.tolist(), counts.tolist())) == \
+        dict(zip(ref_keys.tolist(), ref_counts.tolist()))
+
+    # routed lookups against the resumed counter answer correctly
+    svc = ShardedLookup(c2)
+    import jax.numpy as jnp
+
+    qhi = ref_keys[:64] >> np.uint64(32)
+    qlo = ref_keys[:64] & np.uint64(0xFFFFFFFF)
+    got = svc.lookup([qhi.astype(np.uint32), qlo.astype(np.uint32)])
+    np.testing.assert_array_equal(got, ref_counts[:64])
+
+
+def test_sharded_counter_checkpoint_wide(tmp_path):
+    from kat_tpu.core import wide as wide_mod
+    from kat_tpu.io import fastx
+    from kat_tpu.io.checkpoint import (load_sharded_counter,
+                                       save_sharded_counter)
+    from kat_tpu.parallel.sharded import ShardedCounter, make_mesh
+
+    rng = random.Random(92)
+    seqs = ["".join(rng.choice("ACGT") for _ in range(120))
+            for _ in range(12)]
+    recs = [fastx.Record(f"s{i}", s.encode()) for i, s in enumerate(seqs)]
+    k = 41
+    batches = list(fastx.encode_batches(iter(recs), k,
+                                        target_codes=1 << 12))
+    mesh = make_mesh(8)
+    c1 = ShardedCounter(mesh, k, shard_capacity=1 << 11, route_slack=8.0)
+    for b in batches:
+        c1.add_codes(b)
+    save_sharded_counter(str(tmp_path / "ckw"), c1)
+    c2 = load_sharded_counter(str(tmp_path / "ckw"), mesh)
+    keys, counts = wide_mod.table_to_numpy(c2.finish())
+    assert dict(zip(keys, counts.tolist())) == \
+        dict(oracle.count_seqs(seqs, k))
+
+
+def test_host_checkpoint_loads_into_mesh(tmp_path, table):
+    """A host-side save_table checkpoint (canonical-hash partitioned)
+    places directly onto a same-size mesh."""
+    from kat_tpu.io.checkpoint import load_sharded_counter
+    from kat_tpu.parallel.sharded import make_mesh
+
+    t, hc = table
+    checkpoint.save_table(str(tmp_path / "ck8"), t, k=11, canonical=True,
+                          n_shards=8)
+    mesh = make_mesh(8)
+    sc = load_sharded_counter(str(tmp_path / "ck8"), mesh)
+    keys, counts = counting.table_to_numpy(sc.finish())
+    assert dict(zip(keys.tolist(), counts.tolist())) == dict(hc)
