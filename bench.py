@@ -180,7 +180,7 @@ def _ingest_bench() -> dict:
         t0 = _t.perf_counter()
         sc = counting.CodeStreamingCounter(
             k, canonical=True, initial_capacity=1 << 23,
-            max_capacity=1 << 26, flush_batches=12)
+            max_capacity=1 << 26, flush_windows=1 << 25)
         for batch in prefetch(native.stream_code_batches([path], k)):
             sc.add_codes(batch)
         table = sc.finish()

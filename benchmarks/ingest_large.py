@@ -105,7 +105,7 @@ def main() -> None:
     # full pipeline: reader + prefetch + device counting overlapped
     sc = counting.CodeStreamingCounter(
         K, canonical=True, initial_capacity=1 << 26,
-        max_capacity=1 << 28, flush_batches=16)
+        max_capacity=1 << 28, flush_windows=1 << 26)
     t0 = time.perf_counter()
     for batch in prefetch(native.stream_code_batches(paths, K), depth=4):
         sc.add_codes(batch)

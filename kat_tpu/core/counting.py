@@ -223,13 +223,23 @@ class CodeStreamingCounter:
     def __init__(self, k: int, canonical: bool = True,
                  initial_capacity: int = 1 << 20,
                  max_capacity: int = 1 << 30, disable_grow: bool = False,
-                 flush_batches: int = 16, lsm_runs: int | None = None):
+                 flush_batches: int = 16, lsm_runs: int | None = None,
+                 flush_windows: int | None = None):
         self.k = k
         self.canonical = canonical
         self.capacity = int(initial_capacity)
         self.max_capacity = int(max_capacity)
         self.disable_grow = disable_grow
         self.flush_batches = int(flush_batches)
+        # Windows-based flush sizing: when set (ideally a power of two,
+        # e.g. 1<<26), the per-shape batch budget becomes
+        # flush_windows // windows_per_batch, so the flush fills its
+        # padded pow2 sort geometry to >= 1 - w/flush_windows regardless
+        # of the reader's batch shape (a fixed batch COUNT can waste up
+        # to ~2x sort bandwidth on sentinel padding).
+        self.flush_windows = (int(flush_windows) if flush_windows
+                              else None)
+        self._fb_eff = self.flush_batches
         if lsm_runs is None:
             env = os.environ.get("KAT_TPU_LSM_RUNS")
             if env is not None:
@@ -276,8 +286,13 @@ class CodeStreamingCounter:
                                  255, jnp.uint8)])
             else:
                 self._shape = codes.shape
+                if self.flush_windows:
+                    w = codes.shape[0] * (codes.shape[1] - self.k + 1)
+                    self._fb_eff = max(1, self.flush_windows // max(w, 1))
+                else:
+                    self._fb_eff = self.flush_batches
         self._codes.append(jax.device_put(codes))
-        if len(self._codes) >= self.flush_batches:
+        if len(self._codes) >= self._fb_eff:
             self._flush()
 
     def _flush_fn(self, b: int, rows: int, length: int, cap: int):
@@ -443,16 +458,16 @@ class CodeStreamingCounter:
             return
         rows, length = self._shape
         b = len(self._codes)
-        # Steady-state flushes (b == flush_batches) keep their exact batch
-        # count — one standing compiled shape, and a flush_batches chosen so
-        # table + windows lands just under a power of two wastes no merge
-        # bandwidth.  Only the final partial flush pads to a power of two
-        # (log-many residual shapes).
-        if b == self.flush_batches:
+        # Steady-state flushes (b == the effective batch budget) keep
+        # their exact batch count — one standing compiled shape, and a
+        # budget chosen so the window count lands just under a power of
+        # two wastes no sort/merge bandwidth.  Only the final partial
+        # flush pads to a power of two (log-many residual shapes).
+        if b == self._fb_eff:
             target_b = b
         else:
             target_b = min(1 << max(0, int(np.ceil(np.log2(b)))),
-                           self.flush_batches)
+                           self._fb_eff)
         pad = [jnp.full((rows, length), 255, jnp.uint8)] * (target_b - b)
         stack = jnp.stack(self._codes + pad)
         self._codes = []

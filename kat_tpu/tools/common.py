@@ -173,13 +173,20 @@ class Input:
                 if native.available() and not os.environ.get(
                         "KAT_TPU_NO_NATIVE"):
                     # Uniform batches from the native reader: fused
-                    # extract+reduce flush (one dispatch per ~16 batches).
+                    # extract+reduce flush.  On the kernel path size
+                    # flushes by WINDOW COUNT so whatever batch geometry
+                    # the reader emits fills the sort kernel's padded
+                    # pow2 geometry (a fixed batch count can waste up to
+                    # ~2x sort bandwidth on sentinel padding).
                     sc = counting.CodeStreamingCounter(
                         self.mer_len, self.canonical,
                         initial_capacity=min(cap0,
                                              _next_pow2(self.hash_size)),
                         max_capacity=max(_next_pow2(self.hash_size), cap0),
-                        disable_grow=self.disable_grow)
+                        disable_grow=self.disable_grow,
+                        flush_windows=(1 << 26 if
+                                       counting.kernels_enabled()
+                                       else None))
                     for batch in self._code_batches():
                         sc.add_codes(batch)
                 else:
