@@ -26,6 +26,7 @@ from ..core import comp_engine, stats
 from ..core.counting import CountTable
 from ..core.kmers import SENTINEL
 from ..core.wide import WideTable
+from .collectives import psum_exact
 from .sharded import ShardedCounter, owner_shard
 
 
@@ -90,7 +91,7 @@ def comp_sharded(c1: ShardedCounter, c2: ShardedCounter,
                                   dm_size=dm_size, d2_scale=d2_scale)
         outs3 = comp_engine.pass3(t3) if three else {}
         tree = (outs1[:5] + (outs1[5:] if three else ()), outs2, outs3)
-        return jax.lax.psum(tree, axis_names)
+        return psum_exact(tree, axis_names)
 
     fn = shard_map(body, mesh=mesh, in_specs=in_specs,
                    out_specs=(P(), P(), P()), check_vma=False)
@@ -110,7 +111,7 @@ def gcp_sharded(c: ShardedCounter, mer_len: int, cvg_bins: int,
     def body(*flat):
         t = _local_table(nw, flat)
         grid = stats.gcp_matrix(t, mer_len, cvg_bins, cvg_scale)
-        return jax.lax.psum(grid, axis_names)
+        return psum_exact(grid, axis_names)
 
     fn = shard_map(body, mesh=c.mesh, in_specs=_specs_for(c),
                    out_specs=P(), check_vma=False)
@@ -193,7 +194,7 @@ def _routed_counts_local(t, qwords, n_dest: int, qcap: int, k: int,
     flat_c = back_c.reshape(-1)
     flat_i = back_i.reshape(-1).astype(jnp.int32)
     out = jnp.zeros((m,), jnp.uint32).at[flat_i].set(flat_c, mode="drop")
-    dropped = jax.lax.psum(dropped, axis_names)
+    dropped = psum_exact(dropped, axis_names)
     return out, dropped
 
 

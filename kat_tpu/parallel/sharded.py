@@ -50,6 +50,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import wide as wide_mod
 from ..core.counting import CountTable, _unique_reduce, table_from_numpy
+from .collectives import psum_exact
 from ..core.kmers import MAX_K, SENTINEL, words_for_k
 from ..core.tables import extract
 from ..core.wide import WideTable, _unique_reduce_wide
@@ -288,7 +289,7 @@ def _flush_local(*args, k: int, canonical: bool, n_dest: int,
 
     *nwords, nc, n_unique = out
     new_max = jnp.maximum(prev_max, n_unique[None])
-    dropped = prev_dropped + jax.lax.psum(dropped, axis_names)
+    dropped = prev_dropped + psum_exact(dropped, axis_names)
     return (*(wd[None] for wd in nwords), nc[None], n_unique[None],
             new_max, dropped)
 
@@ -609,7 +610,7 @@ class ShardedCounter:
                                          (c - base) // inc)).astype(jnp.int32)
             w = (c > 0).astype(jnp.uint64)
             h = jnp.zeros((nb_buckets,), jnp.uint64).at[bucket].add(w)
-            return jax.lax.psum(h, self.axis_names)
+            return psum_exact(h, self.axis_names)
 
         fn = shard_map(local_hist, mesh=self.mesh, in_specs=(spec,),
                        out_specs=P())
