@@ -245,9 +245,13 @@ class CodeStreamingCounter:
             if env is not None:
                 lsm_runs = int(env)
             else:
-                # 3 pending runs + the resident table = a pow2 4-run
-                # bitonic consolidation merge
-                lsm_runs = 3 if kernels_enabled() else 0
+                # Chip-measured A/B (TPU_VALIDATION_r03): deferring the
+                # table merge into a 4-run consolidation is a net LOSS
+                # (197.7M vs 213.7M kmers/s at lsm_runs=0) — the pow2
+                # consolidation sort over 4x the flush length costs more
+                # than the per-flush merge+reduce it replaces.  Default
+                # off; KAT_TPU_LSM_RUNS re-enables for experiments.
+                lsm_runs = 0
         self.lsm_runs = int(lsm_runs)
         self.table = empty_table(self.capacity)
         self._codes: list = []

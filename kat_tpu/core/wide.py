@@ -147,7 +147,8 @@ class WideCodeStreamingCounter:
             if env is not None:
                 lsm_runs = int(env)
             else:
-                lsm_runs = 3 if kernels_enabled() else 0
+                # default off — chip-measured net loss (see counting.py)
+                lsm_runs = 0
         self.lsm_runs = int(lsm_runs)
         self.n_words = words_for_k(k)
         self.table = empty_table(self.capacity, self.n_words)
