@@ -93,10 +93,13 @@ def main() -> None:
 
     # reader-only ceiling: the native reader + prefetch with no device
     # work at all (what the input pipeline could sustain)
+    threads = native.reader_threads_default(len(paths))
     t0 = time.perf_counter()
     n_batches = 0
     batch_shapes = []
-    for batch in prefetch(native.stream_code_batches(paths, K), depth=4):
+    for batch in prefetch(native.stream_code_batches(paths, K,
+                                                     threads=threads),
+                          depth=4):
         if n_batches < 3:
             batch_shapes.append(tuple(batch.shape))
         n_batches += 1
@@ -107,7 +110,9 @@ def main() -> None:
         K, canonical=True, initial_capacity=1 << 26,
         max_capacity=1 << 28, flush_windows=1 << 26)
     t0 = time.perf_counter()
-    for batch in prefetch(native.stream_code_batches(paths, K), depth=4):
+    for batch in prefetch(native.stream_code_batches(paths, K,
+                                                     threads=threads),
+                          depth=4):
         sc.add_codes(batch)
     sc.finish()
     n_uniq = sc.device_sync()
@@ -122,6 +127,7 @@ def main() -> None:
         "wall_seconds": round(wall, 1),
         "reader_seconds": round(reader_wall, 1),
         "batches": n_batches,
+        "reader_threads": threads,
         "distinct": int(n_uniq),
         "batch_shapes": batch_shapes,
     }), flush=True)

@@ -81,36 +81,103 @@ def available() -> bool:
     return get_lib() is not None
 
 
+def _stream_file(lib, path: str, trim: int, k: int, rows: int,
+                 row_len: int) -> Iterator[np.ndarray]:
+    buf = np.empty((rows, row_len), np.uint8)
+    h = lib.kat_fastx_open(path.encode(), int(trim))
+    if not h:
+        raise OSError(f"could not open sequence file: {path}")
+    try:
+        while True:
+            n = lib.kat_fastx_next_codes(
+                h, k, rows, row_len,
+                buf.ctypes.data_as(ctypes.c_void_p))
+            if n < 0:
+                raise RuntimeError(f"native reader error on {path}")
+            if n == 0:
+                break
+            yield buf[:n].copy()
+    finally:
+        lib.kat_fastx_close(h)
+
+
+def _trims_for(paths: list[str], trim5: list[int] | None) -> list[int]:
+    trims = list(trim5) if trim5 else [0] * len(paths)
+    if len(trims) == 1 and len(paths) > 1:
+        trims = trims * len(paths)
+    return trims
+
+
 def stream_code_batches(paths: list[str], k: int,
                         trim5: list[int] | None = None,
                         rows: int = 4096,
-                        row_len: int = 1024) -> Iterator[np.ndarray]:
+                        row_len: int = 1024,
+                        threads: int = 1) -> Iterator[np.ndarray]:
     """Yield dense [<=rows, row_len] uint8 code batches across files.
 
     Records are packed back to back with invalid separators; a record split
     across rows repeats its (k-1)-base seam so every k-window appears
     exactly once.  Raises RuntimeError if the native library is missing.
+
+    threads > 1 parses up to that many FILES concurrently (the reference's
+    stream_manager hands one stream per consumer thread the same way,
+    deps/jellyfish-2.2.0/include/jellyfish/stream_manager.hpp) — ctypes
+    releases the GIL during the native parse+inflate, so gz decompression
+    genuinely parallelizes.  Batch ORDER then interleaves across files:
+    use only for order-independent consumers (k-mer counting is).
     """
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native fastxio library unavailable")
-    trims = list(trim5) if trim5 else [0] * len(paths)
-    if len(trims) == 1 and len(paths) > 1:
-        trims = trims * len(paths)
-    buf = np.empty((rows, row_len), np.uint8)
-    for path, trim in zip(paths, trims):
-        h = lib.kat_fastx_open(path.encode(), int(trim))
-        if not h:
-            raise OSError(f"could not open sequence file: {path}")
+    trims = _trims_for(paths, trim5)
+    threads = max(1, min(int(threads), len(paths)))
+    if threads == 1:
+        for path, trim in zip(paths, trims):
+            yield from _stream_file(lib, path, trim, k, rows, row_len)
+        return
+
+    import queue
+
+    q: queue.Queue = queue.Queue(maxsize=2 * threads)
+    work = iter(list(zip(paths, trims)))
+    work_lock = threading.Lock()
+
+    def worker() -> None:
         try:
             while True:
-                n = lib.kat_fastx_next_codes(
-                    h, k, rows, row_len,
-                    buf.ctypes.data_as(ctypes.c_void_p))
-                if n < 0:
-                    raise RuntimeError(f"native reader error on {path}")
-                if n == 0:
+                with work_lock:
+                    item = next(work, None)
+                if item is None:
                     break
-                yield buf[:n].copy()
+                for batch in _stream_file(lib, item[0], item[1], k, rows,
+                                          row_len):
+                    q.put(batch)
+        except BaseException as e:  # noqa: BLE001 — re-raised at consumer
+            q.put(e)
         finally:
-            lib.kat_fastx_close(h)
+            q.put(None)
+
+    workers = [threading.Thread(target=worker, daemon=True,
+                                name=f"kat-tpu-reader-{i}")
+               for i in range(threads)]
+    for t in workers:
+        t.start()
+    live = threads
+    while live:
+        item = q.get()
+        if item is None:
+            live -= 1
+        elif isinstance(item, BaseException):
+            raise item
+        else:
+            yield item
+
+
+def reader_threads_default(n_paths: int) -> int:
+    """Reader parallelism for order-independent counting consumers:
+    KAT_TPU_READER_THREADS, else one thread per file capped at half the
+    host's cores (leave the rest for the dispatch loop / analysis)."""
+    env = os.environ.get("KAT_TPU_READER_THREADS")
+    if env is not None:
+        return max(1, int(env))
+    return max(1, min(n_paths, (os.cpu_count() or 2) // 2, 8))

@@ -286,7 +286,8 @@ class Input:
         if (native.available() and not any_stream
                 and not os.environ.get("KAT_TPU_NO_NATIVE")):
             it = native.stream_code_batches(
-                self.paths, self.mer_len, self.trim5 or None)
+                self.paths, self.mer_len, self.trim5 or None,
+                threads=native.reader_threads_default(len(self.paths)))
         else:
             # generator pipes / FIFOs / stdin go through the python
             # streaming reader (single-open, peek-based sniffing)

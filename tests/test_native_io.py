@@ -119,3 +119,35 @@ def test_multiple_files(tmp_path, seqs):
     _write_fastq(fq, seqs[25:])
     got = _kmers_from_batches([str(fa), str(fq)], 9)
     assert got == _expected(seqs, 9)
+
+
+def test_parallel_reader_same_multiset(tmp_path, seqs):
+    """threads>1 interleaves batches across files but the k-mer multiset
+    (all counting consumers see only that) is identical to serial."""
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"p{i}.fastq.gz"
+        _write_fastq(p, seqs[i::4], gz=True)
+        paths.append(str(p))
+    serial = _kmers_from_batches(paths, 9)
+    par = _kmers_from_batches(paths, 9, threads=4)
+    assert par == serial == _expected(seqs, 9)
+
+
+def test_parallel_reader_trims_and_more_threads_than_files(tmp_path, seqs):
+    pa, pb = tmp_path / "a.fastq", tmp_path / "b.fastq"
+    _write_fastq(pa, seqs[:20])
+    _write_fastq(pb, seqs[20:])
+    got = _kmers_from_batches([str(pa), str(pb)], 9, trim5=[2, 5],
+                              threads=16)
+    want = _expected([s[2:] for s in seqs[:20]]
+                     + [s[5:] for s in seqs[20:]], 9)
+    assert got == want
+
+
+def test_parallel_reader_propagates_errors(tmp_path, seqs):
+    ok = tmp_path / "ok.fastq"
+    _write_fastq(ok, seqs)
+    with pytest.raises(OSError):
+        list(native.stream_code_batches(
+            [str(ok), str(tmp_path / "missing.fastq")], 9, threads=2))
