@@ -370,12 +370,35 @@ def _inplace_call(kernel, grid, n_planes, n, br, vmem_shape, interpret,
     )
 
 
+# Scoped-VMEM cost model, calibrated on a real v5e (round 3): Mosaic's
+# stack for one window launch is the W-block scratch PLUS ~3.4 extra
+# block-slices PER PLANE of round temporaries (rolled copies / pair
+# decisions), i.e.  n_planes * (W + ~3.4) * br * LANES * 4 bytes.  Fit
+# (all +-2%): 11 planes W4 br512 -> 20.58M FAIL, 13 planes W2 -> 17.65M
+# FAIL, 17 planes W2 -> 22.90M FAIL, 5 planes W8 -> PASS, 9 planes W2 ->
+# PASS (hard limit 16M).  C=3.5 and a 14.5M budget keep every
+# chip-proven geometry (2pl W16 / 3pl W8 / 5pl W8 / 7pl W4) EXACTLY as
+# it has always run, and give wide-key plane counts a feasible (W, br).
+_VMEM_BUDGET = 14.5 * 1024 * 1024
+_TEMP_BLOCKS = 3.5
+
+
+def _window_cost(n_planes: int, w: int, br: int) -> float:
+    return n_planes * (w + _TEMP_BLOCKS) * br * LANES * 4
+
+
+def _shrink_br_planes(n_planes: int, br: int) -> int:
+    """Halve block_rows until even a W=2 window fits the VMEM model —
+    the escape hatch for very wide keys (>= 11 planes at br=512)."""
+    while br > 8 and _window_cost(n_planes, 2, br) > _VMEM_BUDGET:
+        br //= 2
+    return br
+
+
 def _pick_window(n_planes: int, br: int, nb: int) -> int:
-    """Largest pow2 window (blocks) with the VMEM scratch under ~12MB
-    (v5e has ~16MB/core; the window is the kernel's only big buffer)."""
-    budget = 12 * 1024 * 1024
+    """Largest pow2 window whose modeled scoped-VMEM cost fits."""
     w = 16
-    while w > 2 and n_planes * w * br * LANES * 4 > budget:
+    while w > 2 and _window_cost(n_planes, w, br) > _VMEM_BUDGET:
         w //= 2
     while w > nb:
         w //= 2
@@ -393,7 +416,7 @@ def bitonic_sort_planes(planes, n_key_words: int, block_rows: int = 512,
     SENTINEL keys / zero payloads; sentinels sort last)."""
     n_planes = len(planes)
     n = planes[0].shape[0]
-    br = block_rows
+    br = _shrink_br_planes(n_planes, block_rows)
     while br > 8 and n < 2 * br * LANES:
         br //= 2
     bs = br * LANES
@@ -457,7 +480,7 @@ def bitonic_final_phase(planes, n_key_words: int, block_rows: int = 512,
     ascending because bit P of any index < 2^P is 0."""
     n_planes = len(planes)
     n = planes[0].shape[0]
-    br = block_rows
+    br = _shrink_br_planes(n_planes, block_rows)
     while br > 8 and n < 2 * br * LANES:
         br //= 2
     bs = br * LANES
@@ -521,7 +544,8 @@ def bitonic_merge_runs(planes, n_key_words: int, run_len: int,
     if run_len >= n:
         return tuple(planes)
     n_runs = n // run_len
-    br, ok = _runs_geometry(n, run_len, block_rows)
+    br, ok = _runs_geometry(n, run_len,
+                            _shrink_br_planes(n_planes, block_rows))
     bs = br * LANES
     if not ok:
         raise ValueError(

@@ -17,6 +17,7 @@ re-runnable artifact, not a builder anecdote), and standalone via
 
 from __future__ import annotations
 
+import functools
 import time
 
 import numpy as np
@@ -97,6 +98,118 @@ def verify_kernels(n: int = 1 << 22, seed: int = 0,
 
     reduce_ok = _reduce_check(shi, slo, w)
     results["reduce"] = "PASS" if bool(reduce_ok) else "FAIL"
+
+    results["verify_seconds"] = round(time.time() - t0, 1)
+    results["verify_n"] = n
+    return results
+
+
+def verify_kernels_wide(n_words: int = 4, n: int = 1 << 19, seed: int = 1,
+                        interpret: bool = False) -> dict:
+    """Wide-key (multi-word) variant of verify_kernels.
+
+    The flush kernels are plane-generic, but until round 3 only the
+    2-plane (k<=31) geometry had ever executed on a real chip — the same
+    CPU-passes/TPU-fails exposure class as the 64-bit psum lowering bug.
+    n_words=4/8/16 correspond to k=63/127/255 keys (core/kmers.py
+    words_for_k).
+
+    Structure (learned on chip): each kernel runs in its OWN jit program
+    and is compared against a HOST numpy reference.  Combining a Pallas
+    kernel with a wide variadic `lax.sort` reference in one program
+    stacks both scoped-VMEM footprints and OOMs vmem from ~9 operands,
+    and the variadic sort's own compile is pathological there (205s at
+    9 operands) — so wide references stay off the device entirely.  n
+    defaults smaller than the narrow attestation's 2^22: outputs are
+    fetched for the host compare and the dev tunnel moves ~30MB/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.kmers import SENTINEL
+    from ..ops.merge_kernel import merge_sorted_kernel
+    from ..ops.reduce_kernel import reduce_compact_sorted
+    from ..ops.sort_kernel import sort_planes_padded
+
+    t0 = time.time()
+    rng = np.random.default_rng(seed)
+    planes_np = [rng.integers(0, 1 << 32, n, dtype=np.uint32)
+                 for _ in range(n_words)]
+    planes_np[0] = rng.integers(0, 1 << 20, n, dtype=np.uint32)
+    n_sent = n // 128
+    for p in planes_np:
+        p[-n_sent:] = np.uint32(SENTINEL)
+    planes = tuple(jax.device_put(jnp.asarray(p)) for p in planes_np)
+
+    results: dict = {"n_words": n_words}
+
+    def _lexsort_rows(cols):
+        # np.lexsort keys are least-significant FIRST
+        return np.lexsort(tuple(cols[::-1]))
+
+    # ---- full sort: kernel alone vs host lexsort -------------------------
+    sort_fn = jax.jit(functools.partial(
+        sort_planes_padded, n_key_words=n_words, interpret=interpret))
+    ks = sort_fn(tuple(planes))
+    ks_np = [np.asarray(p) for p in ks]
+    order = _lexsort_rows(planes_np)
+    sort_ok = all(np.array_equal(kp, rp[order])
+                  for kp, rp in zip(ks_np, planes_np))
+    results["sort"] = "PASS" if sort_ok else "FAIL"
+
+    na = (n // 8) * 5  # non-pow2 block counts on both sides
+
+    # ---- merge: kernel alone vs host lexsort of the concat ---------------
+    w_np = ~np.all(np.stack(ks_np) == np.uint32(SENTINEL), axis=0)
+    w_np = w_np.astype(np.uint32)
+    w = jax.device_put(jnp.asarray(w_np))
+
+    def _merge(sp_and_w):
+        *sp, w = sp_and_w
+        a = tuple(p[:na] for p in sp)
+        b = tuple(p[na:] for p in sp)
+        mwords, (mw,) = merge_sorted_kernel(a, (w[:na],), b, (w[na:],),
+                                            interpret=interpret)
+        return tuple(mwords) + (mw,)
+
+    merge_fn = jax.jit(_merge)
+    mouts = merge_fn(tuple(ks) + (w,))
+    m_np = [np.asarray(p) for p in mouts]
+    # permutation-insensitive: host-sort both sides by the full
+    # (key, payload) tuple; kernel output may carry sentinel padding
+    k1 = _lexsort_rows([p[:n] for p in m_np])
+    k2 = _lexsort_rows(ks_np + [w_np])
+    merge_ok = (m_np[0].shape[0] >= n) and all(
+        np.array_equal(mp[:n][k1], rp[k2])
+        for mp, rp in zip(m_np, ks_np + [w_np]))
+    results["merge"] = "PASS" if merge_ok else "FAIL"
+
+    # ---- streaming reduce: kernel alone vs host groupby -------------------
+    # out_size = n so the kernel never truncates (the host reference keeps
+    # every group; truncation semantics are covered by the narrow
+    # attestation's XLA comparison at out_size = n//2)
+    out_size = n
+    reduce_fn = jax.jit(functools.partial(
+        reduce_compact_sorted, out_size=out_size, interpret=interpret))
+    kout = reduce_fn(tuple(ks), w)
+    kout_np = [np.asarray(p) for p in kout]
+
+    keys = np.stack(ks_np)                       # [n_words, n] sorted
+    real = w_np.astype(bool)
+    nxt_same = np.all(keys[:, :-1] == keys[:, 1:], axis=0)
+    is_first = np.concatenate([[True], ~nxt_same])
+    seg = np.cumsum(is_first) - 1
+    totals = np.bincount(seg, weights=w_np.astype(np.int64)).astype(
+        np.uint32)
+    first_idx = np.flatnonzero(is_first)
+    keep = real[first_idx]                       # sentinel group drops
+    ukeys = keys[:, first_idx[keep]]
+    ucounts = totals[keep]
+    n_unique = int(keep.sum())
+    reduce_ok = int(kout_np[-1]) == n_unique and all(
+        np.array_equal(kp[:n_unique], uk)
+        for kp, uk in zip(kout_np[:n_words], ukeys)) and np.array_equal(
+        kout_np[n_words][:n_unique], ucounts)
+    results["reduce"] = "PASS" if reduce_ok else "FAIL"
 
     results["verify_seconds"] = round(time.time() - t0, 1)
     results["verify_n"] = n

@@ -222,3 +222,19 @@ def test_sort_12_word_keys():
     order = np.lexsort(tuple(words[::-1]))
     for w, o in zip(words, out):
         assert np.array_equal(np.asarray(o), w[order])
+
+
+def test_vmem_geometry_model_pins():
+    """Chip-calibrated (W, br) picks (round-3 v5e scoped-VMEM battery:
+    /tmp-era calibration recorded in the sort-kernel cost-model comment).
+    The 2/3/5/7-plane rows are the geometries every recorded benchmark
+    ran with — they must never drift; the 9+ rows are the first
+    feasible wide-key configurations (>=11 planes shrink block_rows)."""
+    from kat_tpu.ops.sort_kernel import _pick_window, _shrink_br_planes
+
+    pins = {2: (16, 512), 3: (8, 512), 5: (8, 512), 7: (4, 512),
+            9: (2, 512), 11: (4, 256), 13: (4, 256), 17: (2, 256)}
+    for planes, (want_w, want_br) in pins.items():
+        br = _shrink_br_planes(planes, 512)
+        assert br == want_br, (planes, br)
+        assert _pick_window(planes, br, 1 << 10) == want_w, planes

@@ -150,3 +150,14 @@ def test_overflow_across_flushes_recovers_in_place():
         sc2.flush()
         sc2.add_codes(codes)
         sc2.check()
+
+
+def test_verify_kernels_wide_structure():
+    """The wide attestation itself (sort/merge/reduce at 4 and 16 planes,
+    non-pow2 merge splits) must PASS in interpret mode — the same code
+    the chip attestation runs (k=63 and k=255 key shapes)."""
+    from kat_tpu.ops.verify import verify_kernels_wide
+
+    for nw in (4, 16):
+        r = verify_kernels_wide(n_words=nw, n=1 << 13, interpret=True)
+        assert (r["sort"], r["merge"], r["reduce"]) == ("PASS",) * 3, r
