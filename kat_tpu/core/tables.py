@@ -3,8 +3,11 @@ k<=63) count tables, so tool engines stay single-source."""
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import counting, kmers, wide
 
@@ -29,11 +32,64 @@ def real_mask(table) -> jax.Array:
     return m
 
 
+def _join_policy(m: int, cap: int) -> bool:
+    """Route a bulk lookup through the sort-merge join (ops/join.py)?
+
+    The join's streaming passes cost ~O(cap + m); the binary search costs
+    ~log2(cap) x 2 random gathers PER query (hundreds of ns each on TPU,
+    docs/PERFORMANCE.md).  The join wins once the query batch is within a
+    couple orders of magnitude of the table, and only the Pallas-kernel
+    backends make its sorts fast — so: kernels on AND m large enough.
+    KAT_TPU_JOIN=0 forces the binary search, =1 forces the join.
+    """
+    env = os.environ.get("KAT_TPU_JOIN")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    if not counting.kernels_enabled():
+        return False
+    min_m = int(os.environ.get("KAT_TPU_JOIN_MIN", str(1 << 16)))
+    return m >= max(min_m, cap // 256)
+
+
 def lookup(table, qwords) -> jax.Array:
-    """Counts for query keys given as a word tuple matching the table."""
+    """Counts for query keys given as a word tuple matching the table.
+
+    Bulk queries on kernel-capable backends go through the sort-merge
+    join (streaming passes, ops/join.py); small batches and plain-XLA
+    backends use the vectorized binary search.
+    """
+    m = int(np.prod(qwords[0].shape)) if qwords[0].ndim else 1
+    if _join_policy(m, table.counts.shape[0]):
+        from ..ops.join import counts_join
+
+        return counts_join(
+            key_words(table), table.counts, tuple(qwords),
+            use_kernel=counting.kernels_enabled(),
+            interpret=counting._kernel_interpret())
     if is_wide(table):
         return wide.lookup_wide(table, qwords)
     return counting.lookup(table, qwords[0], qwords[1])
+
+
+def compact(table, min_capacity: int = 1 << 17):
+    """Host-side shrink of a FINISHED table to the smallest pow2 capacity
+    holding its real entries (sorted layout: real rows are a prefix).
+
+    The analysis phase pays O(capacity) streaming work per bulk lookup,
+    so probing a table whose capacity doubled past its final fill wastes
+    up to 2x; tools call this once before their lookup loops."""
+    n = int(table.n_unique)
+    cap = table.counts.shape[0]
+    tgt = max(min_capacity, 1 << max(0, int(np.ceil(np.log2(max(n, 1))))))
+    if tgt >= cap:
+        return table
+    if is_wide(table):
+        return wide.WideTable(tuple(w[:tgt] for w in table.words),
+                              table.counts[:tgt], table.n_unique)
+    return counting.CountTable(table.keys_hi[:tgt], table.keys_lo[:tgt],
+                               table.counts[:tgt], table.n_unique)
 
 
 def canonicalize(qwords, k: int):

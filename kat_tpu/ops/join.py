@@ -1,0 +1,134 @@
+"""Sort-merge-join point lookups: the bulk-query engine for the analysis
+phase (sect / cold / comp probes / filter-seq profiles).
+
+The reference serves its second hot loop — random point probes into a
+shared hash (src/comp.cc:401-404,447, src/sect.cc:536,
+src/filter_sequence.cc:363) — with a prefetched O(1) probe
+(deps/jellyfish-2.2.0/include/jellyfish/large_hash_array.hpp:404-476
+`get_key_id`).  The TPU has no cheap random access: a binary search is
+~log2(cap) rounds x 2 random gathers per query (~11 ns/elt per gather on
+v5e, docs/PERFORMANCE.md), i.e. hundreds of ns per query.  This module
+replaces it with streaming passes only:
+
+1. sort the queries by key (Pallas windowed bitonic, original position
+   riding as an extra tiebreak key word so sentinel-key queries are never
+   confused with the sort's own padding),
+2. bitonic-MERGE them with the resident sorted table (ops/merge_kernel),
+   table rows carrying (count, idx=SENTINEL), queries (0, idx),
+3. propagate each equal-key run's unique table count to every run member
+   with a doubling windowed max (counts are >=1 for real table rows, 0
+   everywhere else, and table keys are unique — so the run max IS the
+   answer; no stability assumption on the merge is needed),
+4. un-permute with ONE cheap 2-plane sort by idx and slice the query rows
+   back out (merge padding sorts to the front with idx 0, table rows to
+   the back with idx SENTINEL).
+
+Every step is a sort/merge/elementwise pass — no scatters or random
+gathers anywhere (architecture invariant, docs/PERFORMANCE.md).  Cost is
+~O((n_table + m) log) streaming work instead of m random-probe chains:
+tens of times cheaper per query once m is within a couple orders of
+magnitude of the table size.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core.kmers import SENTINEL
+
+
+def _run_max(words, c):
+    """Max of c over each run of equal keys (lexicographic word tuples),
+    via Hillis-Steele window doubling: after step t every element holds
+    the max over a radius-(2^t - 1) window clipped to its run.  log2(n)
+    elementwise passes, no gathers."""
+    n = c.shape[0]
+    eq = jnp.ones((n - 1,), jnp.bool_)
+    for w in words:
+        eq = eq & (w[1:] == w[:-1])
+    # reach[i] at distance d: key[i] == key[i-d] (runs are contiguous)
+    reach = jnp.concatenate([jnp.zeros((1,), jnp.bool_), eq])
+    d = 1
+    while d < n:
+        zc = jnp.zeros((d,), c.dtype)
+        cl = jnp.concatenate([zc, c[:-d]])
+        cr = jnp.concatenate([c[d:], zc])
+        rb = jnp.concatenate([reach[d:], jnp.zeros((d,), jnp.bool_)])
+        c = jnp.maximum(c, jnp.maximum(jnp.where(reach, cl, 0),
+                                       jnp.where(rb, cr, 0)))
+        if 2 * d < n:
+            reach = reach & jnp.concatenate(
+                [jnp.zeros((d,), jnp.bool_), reach[:-d]])
+        d *= 2
+    return c
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("use_kernel", "interpret"))
+def counts_join(twords, tcounts, qwords, use_kernel: bool = False,
+                interpret: bool = False) -> jax.Array:
+    """Counts for query keys against a sorted unique-key table.
+
+    twords: tuple of uint32 key-word planes, ascending lexicographic,
+      sentinel-key padding at the tail (counts 0 there).
+    tcounts: uint32 counts aligned with twords.
+    qwords: query key-word planes (any matching shape); sentinel-key
+      queries return 0.  Returns uint32 counts in the queries' shape.
+
+    use_kernel selects the Pallas sort/merge kernels (TPU) vs the pure
+    XLA formulations (CPU tests / fallback); results are identical.
+    """
+    n_words = len(twords)
+    shape = qwords[0].shape
+    qs = tuple(q.reshape(-1).astype(jnp.uint32) for q in qwords)
+    m = qs[0].shape[0]
+    if m == 0:
+        return jnp.zeros(shape, jnp.uint32)
+    n_t = twords[0].shape[0]
+    idx = jnp.arange(1, m + 1, dtype=jnp.uint32)
+
+    if use_kernel:
+        from .merge_kernel import merge_sorted_kernel
+        from .sort_kernel import sort_planes_padded
+
+        # idx rides as a FINAL KEY word: the sort pads with all-sentinel
+        # rows (idx=SENTINEL) which then order strictly after any real
+        # sentinel-key query (idx<SENTINEL), so slicing the pad back off
+        # can never drop a real query.
+        sq = sort_planes_padded(qs + (idx,), n_words + 1,
+                                interpret=interpret)
+        sqw, sqi = sq[:n_words], sq[n_words]
+        tidx = jnp.full((n_t,), SENTINEL, jnp.uint32)
+        zcnt = jnp.zeros((m,), jnp.uint32)
+        mw, mp = merge_sorted_kernel(twords, (tcounts, tidx),
+                                     sqw, (zcnt, sqi),
+                                     interpret=interpret)
+    else:
+        from .merge import merge_sorted
+
+        sq = jax.lax.sort(qs + (idx,), num_keys=n_words)
+        sqw, sqi = sq[:n_words], sq[n_words]
+        tidx = jnp.full((n_t,), SENTINEL, jnp.uint32)
+        zcnt = jnp.zeros((m,), jnp.uint32)
+        mw, mp = merge_sorted(twords, (tcounts, tidx),
+                              sqw, (zcnt, sqi))
+
+    mcnt, midx = mp
+    big_n = mw[0].shape[0]
+    c = _run_max(mw, mcnt)
+
+    if use_kernel:
+        from .sort_kernel import sort_planes_padded as _spp
+
+        si, sc = _spp((midx, c), 1, interpret=interpret)
+    else:
+        si, sc = jax.lax.sort((midx, c), num_keys=1)
+
+    # ascending idx: [merge padding idx=0 | queries idx 1..m | table rows
+    # idx=SENTINEL]; the merge's pad count is static.
+    front = big_n - n_t - m
+    out = sc[front:front + m].astype(jnp.uint32)
+    return out.reshape(shape)

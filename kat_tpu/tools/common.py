@@ -223,10 +223,17 @@ class Input:
                 self._lookup_svc, codes, self.mer_len, self.canonical)
         import jax.numpy as jnp
 
-        from ..core import coverage
+        from ..core import coverage, tables
 
+        # Compact once per finished table: bulk lookups pay streaming
+        # passes over the table's capacity, so probing at the growth
+        # policy's final (possibly 2x-oversized) capacity wastes bandwidth.
+        if getattr(self, "_lookup_table_src", None) is not self.table:
+            self._lookup_table = tables.compact(self.table)
+            self._lookup_table_src = self.table
         c, g, v = coverage.window_counts(
-            self.table, jnp.asarray(codes), self.mer_len, self.canonical)
+            self._lookup_table, jnp.asarray(codes), self.mer_len,
+            self.canonical)
         return np.asarray(c), np.asarray(g), np.asarray(v)
 
     def host_table(self):

@@ -128,9 +128,15 @@ class Comp:
             c2, sp2, row0 = outs2
             c3 = outs3
         else:
-            t1 = self.inputs[0].host_table()
-            t2 = self.inputs[1].host_table()
-            t3 = self.inputs[2].host_table() if self.three_inputs else None
+            from ..core import tables as _tables
+
+            # Compact to final fill: the passes stream over every table's
+            # capacity (iteration AND sort-merge-join probes), so padding
+            # left by the growth policy would be pure wasted bandwidth.
+            t1 = _tables.compact(self.inputs[0].host_table())
+            t2 = _tables.compact(self.inputs[1].host_table())
+            t3 = (_tables.compact(self.inputs[2].host_table())
+                  if self.three_inputs else None)
 
             c1, sp1, ssp1, ssp2, main_mx, ends, mixed, middle = \
                 comp_engine.pass1(
