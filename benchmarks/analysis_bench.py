@@ -29,6 +29,7 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("KAT_TPU_JOIN", "1")  # sect path rides the join
 
 import jax  # noqa: E402
@@ -80,9 +81,11 @@ def main() -> None:
     res["table1_capacity"] = int(tab1.counts.shape[0])
     # counting cost per window for the join-vs-counting ratio (one flush
     # of 16 batches, warm table; coarse — bench.py owns the real number)
+    # same capacity/batch geometry as _count_table so every program is
+    # already compiled — this window must time execution, not compiles
     t0 = time.perf_counter()
     sc = counting.CodeStreamingCounter(
-        K, canonical=True, initial_capacity=tab1.counts.shape[0],
+        K, canonical=True, initial_capacity=1 << 16 if SMALL else 1 << 24,
         max_capacity=1 << 26, flush_batches=16)
     for i in range(16):
         sc.add_codes(q_batches[i % 4])

@@ -6,12 +6,29 @@ parses FASTA/FASTQ(.gz) and emits densely packed, already-2-bit-encoded
 [rows, row_len] uint8 batches with record separators and (k-1) seams, ready
 for device upload.  Built on demand with g++ (cached in ~/.cache/kat_tpu);
 callers fall back to the pure-Python path when unavailable.
+
+Parallelism (the reference drains one stream with N cooperating consumer
+threads, deps/jellyfish-2.2.0/include/jellyfish/cooperative_pool2.hpp:28-50;
+here the split is done at the byte level instead):
+
+  - multiple files parse concurrently (one worker per file),
+  - ONE large uncompressed file splits into record-aligned byte ranges,
+    each parsed by its own worker (kat_fastx_open_range does the
+    record-boundary sync natively),
+  - a .gz stream is inherently serial to inflate, but inflate runs on a
+    dedicated native producer thread overlapped with the parse
+    (kat_fastx_open_threaded) — the honest ceiling for one gzip member.
+
+ctypes releases the GIL during the native parse+inflate, so all of the
+above genuinely parallelize.  Batch ORDER interleaves across workers:
+use only for order-independent consumers (k-mer counting is).
 """
 
 from __future__ import annotations
 
 import ctypes
 import os
+import queue
 import subprocess
 import threading
 from typing import Iterator
@@ -23,6 +40,10 @@ _SRC = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native",
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 _lib_failed = False
+
+# Minimum bytes of one range piece: small enough to load-balance, large
+# enough that the per-piece open/sync cost stays negligible.
+RANGE_CHUNK = 64 << 20
 
 
 def _host_key() -> str:
@@ -47,7 +68,7 @@ def _build_lib() -> str | None:
             and os.path.getmtime(so) >= os.path.getmtime(_SRC)):
         return so
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-           "-o", so + ".tmp", "-lz"]
+           "-o", so + ".tmp", "-lz", "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(so + ".tmp", so)
@@ -68,6 +89,14 @@ def get_lib() -> ctypes.CDLL | None:
         lib = ctypes.CDLL(so)
         lib.kat_fastx_open.restype = ctypes.c_void_p
         lib.kat_fastx_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.kat_fastx_open_range.restype = ctypes.c_void_p
+        lib.kat_fastx_open_range.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64]
+        lib.kat_fastx_open_threaded.restype = ctypes.c_void_p
+        lib.kat_fastx_open_threaded.argtypes = [ctypes.c_char_p,
+                                                ctypes.c_int]
+        lib.kat_fastx_sniff.restype = ctypes.c_int
+        lib.kat_fastx_sniff.argtypes = [ctypes.c_char_p]
         lib.kat_fastx_close.argtypes = [ctypes.c_void_p]
         lib.kat_fastx_next_codes.restype = ctypes.c_int64
         lib.kat_fastx_next_codes.argtypes = [
@@ -81,19 +110,32 @@ def available() -> bool:
     return get_lib() is not None
 
 
-def _stream_file(lib, path: str, trim: int, k: int, rows: int,
-                 row_len: int) -> Iterator[np.ndarray]:
-    buf = np.empty((rows, row_len), np.uint8)
-    h = lib.kat_fastx_open(path.encode(), int(trim))
+def _open_item(lib, item) -> int:
+    path, trim, start, end, kind = item
+    if kind == "range":
+        h = lib.kat_fastx_open_range(path.encode(), int(trim),
+                                     int(start), int(end))
+    elif kind == "gz-threaded":
+        h = lib.kat_fastx_open_threaded(path.encode(), int(trim))
+    else:
+        h = lib.kat_fastx_open(path.encode(), int(trim))
     if not h:
         raise OSError(f"could not open sequence file: {path}")
+    return h
+
+
+def _stream_item(lib, item, k: int, rows: int, row_len: int,
+                 stop: threading.Event | None = None
+                 ) -> Iterator[np.ndarray]:
+    buf = np.empty((rows, row_len), np.uint8)
+    h = _open_item(lib, item)
     try:
-        while True:
+        while not (stop is not None and stop.is_set()):
             n = lib.kat_fastx_next_codes(
                 h, k, rows, row_len,
                 buf.ctypes.data_as(ctypes.c_void_p))
             if n < 0:
-                raise RuntimeError(f"native reader error on {path}")
+                raise RuntimeError(f"native reader error on {item[0]}")
             if n == 0:
                 break
             yield buf[:n].copy()
@@ -108,6 +150,32 @@ def _trims_for(paths: list[str], trim5: list[int] | None) -> list[int]:
     return trims
 
 
+def _work_items(lib, paths, trims, threads: int) -> list[tuple]:
+    """(path, trim, start, end, kind) pieces.  Large plain files split
+    into record-aligned byte ranges (finer than the thread count for
+    load balance); gz files stay whole but inflate on a native producer
+    thread whenever any parallelism is requested."""
+    items: list[tuple] = []
+    whole = 1 << 62
+    for path, trim in zip(paths, trims):
+        kind = lib.kat_fastx_sniff(path.encode())
+        if kind in (1, 2) and threads > 1:
+            size = os.path.getsize(path)
+            n = min(threads * 2, max(1, size // RANGE_CHUNK))
+            if n > 1:
+                step = -(-size // n)
+                for s in range(0, size, step):
+                    items.append((path, trim, s, min(s + step, size),
+                                  "range"))
+                continue
+            items.append((path, trim, 0, whole, "plain"))
+        elif kind == -1 and threads > 1:
+            items.append((path, trim, 0, whole, "gz-threaded"))
+        else:
+            items.append((path, trim, 0, whole, "plain"))
+    return items
+
+
 def stream_code_batches(paths: list[str], k: int,
                         trim5: list[int] | None = None,
                         rows: int = 4096,
@@ -119,43 +187,58 @@ def stream_code_batches(paths: list[str], k: int,
     across rows repeats its (k-1)-base seam so every k-window appears
     exactly once.  Raises RuntimeError if the native library is missing.
 
-    threads > 1 parses up to that many FILES concurrently (the reference's
-    stream_manager hands one stream per consumer thread the same way,
-    deps/jellyfish-2.2.0/include/jellyfish/stream_manager.hpp) — ctypes
-    releases the GIL during the native parse+inflate, so gz decompression
-    genuinely parallelizes.  Batch ORDER then interleaves across files:
-    use only for order-independent consumers (k-mer counting is).
+    threads > 1 parallelizes the parse: across files, across byte ranges
+    of a single plain file, and (for gz) across the inflate/parse pair.
+    Batch ORDER then interleaves: use only for order-independent
+    consumers (k-mer counting is).
     """
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native fastxio library unavailable")
     trims = _trims_for(paths, trim5)
-    threads = max(1, min(int(threads), len(paths)))
-    if threads == 1:
-        for path, trim in zip(paths, trims):
-            yield from _stream_file(lib, path, trim, k, rows, row_len)
+    threads = max(1, int(threads))
+    items = _work_items(lib, paths, trims, threads)
+    threads = min(threads, len(items))
+    if threads == 1 and not any(i[4] == "gz-threaded" for i in items):
+        for item in items:
+            yield from _stream_item(lib, item, k, rows, row_len)
         return
 
-    import queue
-
     q: queue.Queue = queue.Queue(maxsize=2 * threads)
-    work = iter(list(zip(paths, trims)))
+    work = iter(items)
     work_lock = threading.Lock()
+    # Abandonment protocol: if the consumer stops draining (generator
+    # closed by an error or an overflow restart), `stop` is set so
+    # workers blocked on the bounded queue exit and close their native
+    # handles instead of leaking threads/fds/gz state.
+    stop = threading.Event()
+
+    def _put(obj) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(obj, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker() -> None:
         try:
-            while True:
+            while not stop.is_set():
                 with work_lock:
                     item = next(work, None)
                 if item is None:
                     break
-                for batch in _stream_file(lib, item[0], item[1], k, rows,
-                                          row_len):
-                    q.put(batch)
+                for batch in _stream_item(lib, item, k, rows, row_len,
+                                          stop=stop):
+                    if not _put(batch):
+                        return
         except BaseException as e:  # noqa: BLE001 — re-raised at consumer
-            q.put(e)
+            _put(e)
         finally:
-            q.put(None)
+            _put(None)
+            # a set stop flag may have swallowed the sentinel; the
+            # consumer is gone then, so nobody waits on it
 
     workers = [threading.Thread(target=worker, daemon=True,
                                 name=f"kat-tpu-reader-{i}")
@@ -163,21 +246,32 @@ def stream_code_batches(paths: list[str], k: int,
     for t in workers:
         t.start()
     live = threads
-    while live:
-        item = q.get()
-        if item is None:
-            live -= 1
-        elif isinstance(item, BaseException):
-            raise item
-        else:
-            yield item
+    try:
+        while live:
+            item = q.get()
+            if item is None:
+                live -= 1
+            elif isinstance(item, BaseException):
+                raise item
+            else:
+                yield item
+    finally:
+        stop.set()
 
 
 def reader_threads_default(n_paths: int) -> int:
     """Reader parallelism for order-independent counting consumers:
-    KAT_TPU_READER_THREADS, else one thread per file capped at half the
-    host's cores (leave the rest for the dispatch loop / analysis)."""
+    KAT_TPU_READER_THREADS, else up to half the host's cores (leave the
+    rest for the dispatch loop / analysis).  Single-file inputs still
+    parallelize via byte ranges (plain) or the inflate pipeline (gz)."""
     env = os.environ.get("KAT_TPU_READER_THREADS")
     if env is not None:
-        return max(1, int(env))
-    return max(1, min(n_paths, (os.cpu_count() or 2) // 2, 8))
+        try:
+            return max(1, int(env))
+        except ValueError:
+            import warnings
+
+            warnings.warn(
+                f"KAT_TPU_READER_THREADS={env!r} is not an integer; "
+                "using the default", stacklevel=2)
+    return max(1, min(max(n_paths, 4), (os.cpu_count() or 2) // 2, 16))

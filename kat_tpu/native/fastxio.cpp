@@ -3,9 +3,11 @@
 // This is the TPU framework's equivalent of jellyfish's
 // mer_overlap_sequence_parser (reference deps/jellyfish-2.2.0/include/
 // jellyfish/mer_overlap_sequence_parser.hpp) + stream_manager
-// (stream_manager.hpp): it streams records out of (optionally gzipped)
-// FASTA/FASTQ files and packs their bases, already 2-bit encoded, densely
-// into fixed-shape [rows, row_len] uint8 matrices for the device:
+// (stream_manager.hpp) + cooperative_pool2's many-consumers-one-stream
+// idea (cooperative_pool2.hpp:28-50): it streams records out of
+// (optionally gzipped) FASTA/FASTQ files and packs their bases, already
+// 2-bit encoded, densely into fixed-shape [rows, row_len] uint8 matrices
+// for the device:
 //
 //   - records are concatenated with ONE invalid code (4) between them, so
 //     k-windows never span records (the role of the parser's record
@@ -15,14 +17,36 @@
 //     — so no k-window is lost;
 //   - rows are padded with code 5 (also invalid) only at end-of-file.
 //
+// Single-file parallelism (the reference drains ONE stream with N
+// cooperating consumers; here N range readers own disjoint record sets):
+//
+//   - kat_fastx_open_range(path, trim5, start, end): a reader over the
+//     records whose header byte lies in [start, end) of an UNCOMPRESSED
+//     file.  Record-boundary sync scans forward from `start` for the
+//     first '\n'-preceded header ('>' for FASTA; for FASTQ a '@' line
+//     verified by the '+' two lines later — quality lines starting with
+//     '@' are rejected because a sequence line can never start '+').
+//     Records never span readers, so no k-window is lost or duplicated.
+//   - kat_fastx_open_threaded(path, trim5): inflate (gzread) runs on a
+//     dedicated producer thread into a double buffer while the parser
+//     consumes — a plain .gz stream is inherently serial to decompress,
+//     so pipelining parse behind inflate is the honest ceiling for one
+//     gzip member.
+//
 // Exposed as a tiny C ABI consumed via ctypes (no pybind11 in this image).
-// Build: g++ -O3 -march=native -shared -fPIC fastxio.cpp -o libfastxio.so -lz
+// Build: g++ -O3 -march=native -shared -fPIC fastxio.cpp -o libfastxio.so
+//        -lz -lpthread
 
+#include <fcntl.h>
+#include <unistd.h>
 #include <zlib.h>
 
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <string>
+#include <thread>
 
 namespace {
 
@@ -49,9 +73,26 @@ struct Reader {
   gzFile f = nullptr;
   // buffered input
   static constexpr size_t BUF = 1 << 20;
-  uint8_t buf[BUF];
+  uint8_t own_buf[BUF];
+  const uint8_t* buf = own_buf;
   size_t pos = 0, len = 0;
   bool eof = false;
+  int64_t buf_base = 0;   // absolute file offset of buf[0]
+  int64_t end_off = INT64_MAX;  // stop STARTING records at/after this
+  bool done = false;      // range exhausted (record-boundary stop)
+
+  // threaded inflate (gz pipelining)
+  bool threaded = false;
+  static constexpr size_t TBUF = 4 << 20;
+  std::thread prod;
+  std::mutex mu;
+  std::condition_variable cv;
+  uint8_t* tbuf[2] = {nullptr, nullptr};
+  size_t tlen[2] = {0, 0};
+  bool tfull[2] = {false, false};
+  bool tdone = false;
+  int tcons = 0;   // slot the consumer reads next
+  int thold = -1;  // slot the consumer currently points into
 
   int fmt = 0;  // 0 unknown, 1 fasta, 2 fastq
   // parser state machine
@@ -72,10 +113,75 @@ struct Reader {
   uint8_t seam[256];
   int seam_len = 0;
 
+  ~Reader() {
+    if (threaded) {
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        tdone = true;
+        tfull[0] = tfull[1] = false;  // unblock a producer waiting on space
+      }
+      cv.notify_all();
+      if (prod.joinable()) prod.join();
+      delete[] tbuf[0];
+      delete[] tbuf[1];
+    }
+    if (f) gzclose(f);
+  }
+
+  void start_producer() {
+    threaded = true;
+    tbuf[0] = new uint8_t[TBUF];
+    tbuf[1] = new uint8_t[TBUF];
+    prod = std::thread([this] {
+      int slot = 0;
+      for (;;) {
+        int n;
+        {
+          std::unique_lock<std::mutex> lk(mu);
+          cv.wait(lk, [&] { return !tfull[slot] || tdone; });
+          if (tdone) return;
+        }
+        n = gzread(f, tbuf[slot], TBUF);
+        {
+          std::unique_lock<std::mutex> lk(mu);
+          if (n <= 0) {
+            tdone = true;
+          } else {
+            tlen[slot] = static_cast<size_t>(n);
+            tfull[slot] = true;
+          }
+        }
+        cv.notify_all();
+        if (n <= 0) return;
+        slot ^= 1;
+      }
+    });
+  }
+
   bool fill() {
-    if (eof) return pos < len;
     if (pos < len) return true;
-    int n = gzread(f, buf, BUF);
+    if (eof) return false;
+    buf_base += static_cast<int64_t>(len);
+    if (threaded) {
+      std::unique_lock<std::mutex> lk(mu);
+      if (thold >= 0) {
+        tfull[thold] = false;  // release the drained slot
+        cv.notify_all();
+      }
+      cv.wait(lk, [&] { return tfull[tcons] || tdone; });
+      if (!tfull[tcons]) {
+        eof = true;
+        thold = -1;
+        return false;
+      }
+      thold = tcons;
+      buf = tbuf[tcons];
+      len = tlen[tcons];
+      pos = 0;
+      tcons ^= 1;
+      return true;
+    }
+    int n = gzread(f, const_cast<uint8_t*>(buf), BUF);
     if (n <= 0) {
       eof = true;
       return false;
@@ -85,45 +191,164 @@ struct Reader {
     return true;
   }
   int peek() {
+    if (done) return -1;
     if (!fill()) return -1;
     return buf[pos];
   }
   int get() {
+    if (done) return -1;
     if (!fill()) return -1;
     return buf[pos++];
   }
+  // absolute offset of the next unread byte
+  int64_t offset() const { return buf_base + static_cast<int64_t>(pos); }
 };
+
+// First byte of the file (format sniff), via pread (no stream state).
+int sniff_fmt(const char* path) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return 0;
+  unsigned char b[2] = {0, 0};
+  ssize_t n = pread(fd, b, 2, 0);
+  close(fd);
+  if (n < 1) return 0;
+  if (b[0] == 0x1f && n == 2 && b[1] == 0x8b) return -1;  // gzip
+  if (b[0] == '>') return 1;
+  if (b[0] == '@') return 2;
+  return 0;
+}
+
+// Find the first record-header byte at offset >= start in a PLAIN file.
+// Returns -1 when none exists before EOF.  FASTQ headers are verified by
+// the '+' line two lines down (see file header comment).
+int64_t find_record_start(const char* path, int fmt, int64_t start) {
+  if (start <= 0) return 0;
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  const size_t W = 1 << 16;
+  uint8_t win[W];
+
+  auto byte_at = [&](int64_t off) -> int {
+    uint8_t b;
+    return pread(fd, &b, 1, off) == 1 ? b : -1;
+  };
+  auto next_nl = [&](int64_t from) -> int64_t {  // offset of next '\n'
+    int64_t p = from;
+    for (;;) {
+      ssize_t n = pread(fd, win, W, p);
+      if (n <= 0) return -1;
+      const void* hit = memchr(win, '\n', static_cast<size_t>(n));
+      if (hit)
+        return p + (static_cast<const uint8_t*>(hit) - win);
+      p += n;
+    }
+  };
+
+  int64_t nl = (start == 0) ? -1 : next_nl(start - 1);
+  // candidate header = first byte of each line from here on
+  while (nl >= 0) {
+    int64_t cand = nl + 1;
+    int c = byte_at(cand);
+    if (c < 0) break;  // EOF
+    if (fmt == 1 && c == '>') {
+      close(fd);
+      return cand;
+    }
+    if (fmt == 2 && c == '@') {
+      int64_t e1 = next_nl(cand);      // end of header line
+      int64_t e2 = e1 < 0 ? -1 : next_nl(e1 + 1);  // end of seq line
+      if (e2 >= 0 && byte_at(e2 + 1) == '+') {
+        close(fd);
+        return cand;
+      }
+    }
+    nl = next_nl(cand);
+  }
+  close(fd);
+  return -1;
+}
+
+Reader* open_common(const char* path, int trim5, int fmt, int64_t seek_to,
+                    int64_t end_off, bool threaded) {
+  gzFile f = gzopen(path, "rb");
+  if (!f) return nullptr;
+  gzbuffer(f, 1 << 20);
+  if (seek_to > 0 && gzseek(f, static_cast<z_off_t>(seek_to),
+                            SEEK_SET) < 0) {
+    gzclose(f);
+    return nullptr;
+  }
+  Reader* r = new Reader();
+  r->f = f;
+  r->trim_left = trim5;
+  r->fmt = fmt;
+  r->buf_base = seek_to;
+  r->end_off = end_off;
+  if (threaded) r->start_producer();
+  return r;
+}
 
 }  // namespace
 
 extern "C" {
 
+// 1 = plain FASTA, 2 = plain FASTQ, -1 = gzip, 0 = unknown/unreadable.
+int kat_fastx_sniff(const char* path) { return sniff_fmt(path); }
+
 void* kat_fastx_open(const char* path, int trim5) {
-  gzFile f = gzopen(path, "rb");
-  if (!f) return nullptr;
-  gzbuffer(f, 1 << 20);
-  Reader* r = new Reader();
-  r->f = f;
-  r->trim_left = trim5;
-  int c = r->peek();
-  if (c == '>') {
-    r->fmt = 1;
-  } else if (c == '@') {
-    r->fmt = 2;
-  } else {
+  int fmt = sniff_fmt(path);
+  if (fmt == -1) {  // gzip: sniff the decompressed first byte
+    gzFile f = gzopen(path, "rb");
+    if (!f) return nullptr;
+    unsigned char b;
+    int n = gzread(f, &b, 1);
     gzclose(f);
-    delete r;
-    return nullptr;
+    if (n != 1) return nullptr;
+    fmt = (b == '>') ? 1 : (b == '@') ? 2 : 0;
+  }
+  if (fmt <= 0) return nullptr;
+  return open_common(path, trim5, fmt, 0, INT64_MAX, false);
+}
+
+// Reader over the records whose header byte lies in [start, end) of a
+// PLAIN (uncompressed) file.  Returns nullptr for compressed/unknown
+// files.  A range holding no record start yields an immediately-EOF
+// reader (next_codes returns 0).
+void* kat_fastx_open_range(const char* path, int trim5, int64_t start,
+                           int64_t end) {
+  int fmt = sniff_fmt(path);
+  if (fmt <= 0) return nullptr;  // gz or unknown: ranges unsupported
+  int64_t s = find_record_start(path, fmt, start);
+  Reader* r;
+  if (s < 0 || s >= end) {
+    r = open_common(path, trim5, fmt, 0, end, false);
+    if (r) r->done = true;  // empty range
+  } else {
+    r = open_common(path, trim5, fmt, s, end, false);
   }
   return r;
 }
 
+// Whole-file reader whose gzip inflate runs on a dedicated producer
+// thread (double-buffered) — parse overlaps decompression.
+void* kat_fastx_open_threaded(const char* path, int trim5) {
+  int fmt = sniff_fmt(path);
+  if (fmt == -1) {
+    gzFile f = gzopen(path, "rb");
+    if (!f) return nullptr;
+    unsigned char b;
+    int n = gzread(f, &b, 1);
+    gzclose(f);
+    if (n != 1) return nullptr;
+    fmt = (b == '>') ? 1 : (b == '@') ? 2 : 0;
+  }
+  if (fmt <= 0) return nullptr;
+  return open_common(path, trim5, fmt, 0, INT64_MAX, true);
+}
+
 void kat_fastx_close(void* h) {
   Reader* r = static_cast<Reader*>(h);
-  if (r) {
-    gzclose(r->f);
-    delete r;
-  }
+  delete r;
 }
 
 // Fill out[rows * row_len] with 2-bit codes, densely packed as described in
@@ -145,7 +370,7 @@ int64_t kat_fastx_next_codes(void* h, int k, int64_t rows, int64_t row_len,
 
     while (col < row_len) {
       int c = r->get();
-      if (c < 0) break;  // EOF
+      if (c < 0) break;  // EOF or range exhausted
       switch (r->state) {
         case Reader::AT_START:
           // c is '>' or '@' (validated at open)
@@ -167,9 +392,19 @@ int64_t kat_fastx_next_codes(void* h, int k, int64_t rows, int64_t row_len,
           } else if (r->fmt == 1 && c == '>' && r->in_record == false &&
                      r->seq_len == 0) {
             // empty record, new header
+            if (r->offset() - 1 >= r->end_off) {
+              r->done = true;
+              break;
+            }
             r->state = Reader::IN_HEADER;
           } else if (r->fmt == 1 && c == '>') {
-            // new FASTA record: separate
+            // new FASTA record: separate.  Its header byte is the one
+            // just consumed — if it lies at/after end_off it belongs to
+            // the next range reader.
+            if (r->offset() - 1 >= r->end_off) {
+              r->done = true;
+              break;
+            }
             if (r->in_record && col < row_len) dst[col++] = INVALID;
             r->state = Reader::IN_HEADER;
             r->in_record = false;
@@ -194,7 +429,13 @@ int64_t kat_fastx_next_codes(void* h, int k, int64_t rows, int64_t row_len,
           break;
         case Reader::IN_QUAL:
           if (c == '\n') {
-            // next record (or EOF)
+            // next record (or EOF); its header byte is the next unread
+            // byte — stop here if it falls outside this reader's range
+            if (r->offset() >= r->end_off) {
+              r->done = true;
+              if (r->in_record && col < row_len) dst[col++] = INVALID;
+              break;
+            }
             if (r->in_record && col < row_len) dst[col++] = INVALID;
             r->state = Reader::IN_HEADER;  // '@' header comes next; its
                                            // first char is part of header
@@ -206,6 +447,7 @@ int64_t kat_fastx_next_codes(void* h, int k, int64_t rows, int64_t row_len,
           }
           break;
       }
+      if (r->done) break;
     }
 
     if (col == 0) break;  // EOF and nothing emitted
@@ -222,6 +464,7 @@ int64_t kat_fastx_next_codes(void* h, int k, int64_t rows, int64_t row_len,
       for (; col < row_len; ++col) dst[col] = PAD;
     }
     ++row;
+    if (r->done) break;
     if (r->eof && r->pos >= r->len && r->seam_len == 0) break;
   }
   return row;

@@ -4,6 +4,8 @@ FASTQ, gz, multi-line FASTA, Ns, short records, 5' trim, and records
 spanning row boundaries (seam)."""
 
 import gzip
+import threading
+import time
 import random
 from collections import Counter
 
@@ -151,3 +153,72 @@ def test_parallel_reader_propagates_errors(tmp_path, seqs):
     with pytest.raises(OSError):
         list(native.stream_code_batches(
             [str(ok), str(tmp_path / "missing.fastq")], 9, threads=2))
+
+
+def test_range_split_single_file_same_multiset(tmp_path, seqs,
+                                               monkeypatch):
+    """ONE plain file split into record-aligned byte ranges parses to the
+    same k-mer multiset as the serial read — for FASTA (incl. multi-line)
+    and FASTQ."""
+    monkeypatch.setattr(native, "RANGE_CHUNK", 256)  # force many pieces
+    fa = tmp_path / "one.fa"
+    _write_fasta(fa, seqs, line_len=31)
+    got = _kmers_from_batches([str(fa)], 9, threads=4)
+    assert got == _expected(seqs, 9)
+
+    fq = tmp_path / "one.fastq"
+    _write_fastq(fq, seqs)
+    got = _kmers_from_batches([str(fq)], 9, threads=4)
+    assert got == _expected(seqs, 9)
+
+
+def test_range_split_quality_at_signs(tmp_path, monkeypatch):
+    """FASTQ record-boundary sync must not mistake a quality line that
+    starts with '@' for a header (the classic chunking hazard)."""
+    monkeypatch.setattr(native, "RANGE_CHUNK", 64)
+    seqs = ["ACGTACGTACGTACGTACGT"] * 40
+    fq = tmp_path / "at.fastq"
+    with open(fq, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f"@r{i}\n{s}\n+\n{'@' * len(s)}\n")  # '@' quality!
+    got = _kmers_from_batches([str(fq)], 9, threads=8)
+    assert got == _expected(seqs, 9)
+
+
+def test_range_split_with_trim(tmp_path, seqs, monkeypatch):
+    """5' trim applies per record regardless of which range reader owns
+    it."""
+    monkeypatch.setattr(native, "RANGE_CHUNK", 200)
+    fq = tmp_path / "t.fastq"
+    _write_fastq(fq, seqs)
+    got = _kmers_from_batches([str(fq)], 9, trim5=[3], threads=4)
+    assert got == _expected([s[3:] for s in seqs], 9)
+
+
+def test_gz_threaded_inflate_same_multiset(tmp_path, seqs):
+    """threads>1 on a single .gz uses the producer-thread inflate path;
+    output parity with the serial parse."""
+    gz = tmp_path / "one.fastq.gz"
+    _write_fastq(gz, seqs, gz=True)
+    serial = _kmers_from_batches([str(gz)], 9, threads=1)
+    par = _kmers_from_batches([str(gz)], 9, threads=4)
+    assert par == serial == _expected(seqs, 9)
+
+
+def test_abandoned_consumer_stops_workers(tmp_path, seqs):
+    """Closing the generator mid-stream must stop the worker threads
+    (bounded-queue abandonment leak, ADVICE r3)."""
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"ab{i}.fastq"
+        _write_fastq(p, seqs * 20)
+        paths.append(str(p))
+    before = threading.active_count()
+    gen = native.stream_code_batches(paths, 9, rows=4, row_len=64,
+                                     threads=3)
+    next(gen)
+    gen.close()  # abandon
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
