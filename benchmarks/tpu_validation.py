@@ -1,17 +1,19 @@
-"""One-shot round-3 TPU validation queue.
+"""One-shot round-4 TPU validation queue.
 
 Runs, STRICTLY ONE TPU PROCESS AT A TIME (concurrent tunnel use wedges
 the grant), with a per-step timeout and structured capture:
 
   1. pool probe (health canary)
   2. kernel attestation (sort/merge/reduce vs XLA at 2^22)
-  3. bench.py headline (default config: static-q build + LSM runs)
-  4. bench.py A/B: KAT_TPU_SORT_STATIC_Q=0 (no static build)
-  5. bench.py A/B: KAT_TPU_LSM_RUNS=0   (fused per-flush merge)
-  6. sharded-vs-single one-chip ratio
-  7. large gz ingest exercise
+  3. bench.py headline
+  4. analysis-phase benchmark (join vs binary lookup, sect path, comp)
+  5. join stage decomposition + comp ablation
+  6. golden CLI sweep ON the chip (auto policy, then KAT_TPU_JOIN=1)
+  7. sharded-vs-single one-chip ratio
+  8. large gz ingest exercise
+  9. wide-key (k=33, 4-word) steady-state throughput
 
-Results land in TPU_VALIDATION_r03.json as they arrive (the file is
+Results land in TPU_VALIDATION_r04.json as they arrive (the file is
 rewritten after every step, so a mid-queue tunnel death still leaves
 everything measured so far).  Steps that fail record their error and the
 queue continues.
@@ -30,7 +32,7 @@ import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(ROOT, "TPU_VALIDATION_r03.json")
+OUT = os.path.join(ROOT, "TPU_VALIDATION_r04.json")
 
 
 def run_step(name: str, argv: list[str], timeout: float,
@@ -71,8 +73,8 @@ def run_step(name: str, argv: list[str], timeout: float,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip", default="",
-                    help="comma list: probe,verify,bench,ab,sharded,"
-                         "ingest")
+                    help="comma list: probe,verify,bench,analysis,join,"
+                         "golden,sharded,ingest,wide")
     args = ap.parse_args()
     skip = set(filter(None, args.skip.split(",")))
 
@@ -108,14 +110,27 @@ def main() -> None:
         record("bench_default", run_step(
             "bench", [py, "bench.py"], BENCH_T))
 
-    if "ab" not in skip:
-        record("bench_no_static_q", run_step(
-            "bench", [py, "bench.py"], BENCH_T,
-            {"KAT_TPU_SORT_STATIC_Q": "0",
-             "KAT_TPU_BENCH_NO_VERIFY": "1"}))
-        record("bench_no_lsm", run_step(
-            "bench", [py, "bench.py"], BENCH_T,
-            {"KAT_TPU_LSM_RUNS": "0", "KAT_TPU_BENCH_NO_VERIFY": "1"}))
+    if "analysis" not in skip:
+        record("analysis", run_step(
+            "analysis", [py, "benchmarks/analysis_bench.py"], 3600))
+
+    if "join" not in skip:
+        record("profile_join", run_step(
+            "join", [py, "benchmarks/profile_join.py"], 3000))
+
+    if "golden" not in skip:
+        # the conftest honors KAT_TPU_TEST_PLATFORM: the SAME 15 golden
+        # byte-parity configs, with the real chip doing counting+lookup
+        for name, extra in (("golden_tpu_auto", {}),
+                            ("golden_tpu_join", {"KAT_TPU_JOIN": "1"})):
+            record(name, run_step(
+                name, [py, "-m", "pytest", "tests/test_golden_parity.py",
+                       "-q", "--tb=line", "-p", "no:cacheprovider"], 5400,
+                {"KAT_TPU_TEST_PLATFORM": "axon", **extra}))
+
+    if "wide" not in skip:
+        record("wide_throughput", run_step(
+            "wide", [py, "benchmarks/wide_bench.py"], 3600))
 
     if "sharded" not in skip:
         record("sharded_one_chip", run_step(

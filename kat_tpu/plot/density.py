@@ -1,8 +1,10 @@
-"""`kat plot density` — heatmap of a .mx matrix with contours.
+"""`kat plot density` — heatmap of a .mx matrix with contour overlays.
 
-Behavioral re-implementation of reference scripts/kat/plot/density.py:
-identical axis-limit heuristics (99.5%-volume cutoff skipping the y scan for
-GC matrices, density.py:114-145) and viridis pcolormesh + white contours.
+Numerics follow reference scripts/kat/plot/density.py so goldens match:
+axis limits come from a strided 99.5%-volume scan (the y scan is skipped
+for GC matrices, whose full 0..k GC range is always shown) and the color
+ceiling from the tallest marginal-peak cell.  The rules live in
+`auto_limits` below, pinned numerically by tests/test_plot.py.
 """
 
 from __future__ import annotations
@@ -10,9 +12,82 @@ from __future__ import annotations
 import argparse
 
 import numpy as np
-import scipy.ndimage as ndimage
 
 from .misc import correct_filename, findpeaks, readheader, wrap
+
+VOLUME_FRAC = 0.995  # axis scan stops once this much matrix mass is inside
+FLOOR = 25           # no axis or color ceiling below this (reference :142)
+
+
+def _volume_limit(marginal: np.ndarray, total: float) -> int:
+    """First index (scanned with the reference's ~40-candidate stride)
+    whose prefix holds VOLUME_FRAC of the mass; the full length if none
+    does.  The stride quantization is part of the pinned behavior."""
+    n = len(marginal)
+    step = n // 40 + 1
+    cand = np.arange(1, n, step)
+    if not cand.size:
+        return n
+    prefix = np.cumsum(marginal)[cand - 1]
+    hits = cand[prefix >= total * VOLUME_FRAC]
+    return int(hits[0]) if hits.size else n
+
+
+def auto_limits(matrix: np.ndarray,
+                scan_y: bool) -> tuple[int, int, float]:
+    """(xmax, ymax, zmax) for a density heatmap.
+
+    x and y limits: strided prefix-volume scans of the column/row sums
+    (y only when scan_y — GC-count axes always show their whole range).
+    z limit: 1.1x the largest matrix cell lying on a (row-peak,
+    column-peak) crossing, where single-count peaks are ignored; 25 when
+    no such crossing exists.  Matches scripts/kat/plot/density.py:114-145
+    cell for cell (pinned in tests/test_plot.py)."""
+    total = float(matrix.sum())
+    col_mass = matrix.sum(axis=0)
+    row_mass = matrix.sum(axis=1)
+
+    xmax = _volume_limit(col_mass, total)
+    ymax = _volume_limit(row_mass, total) if scan_y else len(row_mass)
+
+    px = findpeaks(col_mass)
+    py = findpeaks(row_mass)
+    crossings = matrix[np.ix_(py[py != 1], px[px != 1])]
+    zmax = float(crossings.max()) * 1.1 if crossings.size else float(FLOOR)
+    return xmax, ymax, zmax
+
+
+def render(matrix, limits, labels, *, contours="normal", rasterised=True,
+           width=8, height=6):
+    """Draw the heatmap + contour figure; returns the pyplot module so
+    the caller controls saving/closing."""
+    import matplotlib.pyplot as plt
+
+    xmax, ymax, zmax = limits
+    title, x_label, y_label, z_label = labels
+
+    plt.figure(num=None, figsize=(width, height))
+    plt.pcolormesh(matrix, vmin=0, vmax=zmax, cmap="viridis",
+                   rasterized=rasterised)
+    plt.axis([0, xmax, 0, ymax])
+    cbar = plt.colorbar()
+    cbar.set_label(wrap(z_label))
+    cbar.solids.set_rasterized(rasterised)
+    if zmax > 0:
+        levels = np.arange(zmax / 8, zmax, zmax / 8)
+        src = matrix
+        if contours == "smooth":
+            import scipy.ndimage as ndimage
+
+            src = ndimage.gaussian_filter(matrix, sigma=2.0, order=0)
+        if contours in ("normal", "smooth"):
+            plt.contour(src, colors="white", alpha=0.6, levels=levels)
+    plt.title(wrap(title))
+    plt.xlabel(wrap(x_label))
+    plt.ylabel(wrap(y_label))
+    plt.grid(True, color="white", alpha=0.2)
+    plt.tight_layout()
+    return plt
 
 
 def main(argv=None) -> int:
@@ -38,75 +113,29 @@ def main(argv=None) -> int:
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args(argv)
 
-    import matplotlib.pyplot as plt
-
     with open(args.matrix_file) as f:
         header = readheader(f)
         matrix = np.loadtxt(f)
     if header.get("Transpose") == "1":
         matrix = np.transpose(matrix)
 
-    title = args.title or header.get("Title", "Density Plot")
-    x_label = args.x_label or header.get("XLabel", "X")
-    y_label = args.y_label or header.get("YLabel", "Y")
-    z_label = args.z_label or header.get("ZLabel", "Z")
+    labels = (args.title or header.get("Title", "Density Plot"),
+              args.x_label or header.get("XLabel", "X"),
+              args.y_label or header.get("YLabel", "Y"),
+              args.z_label or header.get("ZLabel", "Z"))
 
-    if args.contours == "smooth":
-        matrix_smooth = ndimage.gaussian_filter(matrix, sigma=2.0, order=0)
+    need_auto = None in (args.x_max, args.y_max, args.z_max)
+    if need_auto:
+        xmax, ymax, zmax = auto_limits(matrix,
+                                       scan_y=labels[2] != "GC count")
+    xmax = args.x_max if args.x_max is not None else xmax
+    ymax = args.y_max if args.y_max is not None else ymax
+    zmax = args.z_max if args.z_max is not None else zmax
+    limits = (max(xmax, FLOOR), max(ymax, FLOOR), max(zmax, FLOOR))
 
-    if args.x_max is None or args.y_max is None or args.z_max is None:
-        msum = np.sum(matrix)
-        xsums = np.sum(matrix, 0)
-        ysums = np.sum(matrix, 1)
-        peakx = findpeaks(xsums)
-        peaky = findpeaks(ysums)
-        peakx = peakx[peakx != 1]
-        peaky = peaky[peaky != 1]
-        peakz = matrix[peaky, :][:, peakx]
-
-        xmax = len(xsums)
-        ymax = len(ysums)
-        for i in range(1, len(xsums), int(len(xsums) / 40) + 1):
-            if np.sum(xsums[:i]) >= msum * 0.995:
-                xmax = i
-                break
-        if y_label != "GC count":
-            for i in range(1, len(ysums), int(len(ysums) / 40) + 1):
-                if np.sum(ysums[:i]) >= msum * 0.995:
-                    ymax = i
-                    break
-        zmax = np.max(peakz) * 1.1 if peakz.size else 25
-
-    if args.x_max is not None:
-        xmax = args.x_max
-    if args.y_max is not None:
-        ymax = args.y_max
-    if args.z_max is not None:
-        zmax = args.z_max
-    xmax = max(xmax, 25)
-    ymax = max(ymax, 25)
-    zmax = max(zmax, 25)
-
-    plt.figure(num=None, figsize=(args.width, args.height))
-    plt.pcolormesh(matrix, vmin=0, vmax=zmax, cmap="viridis",
-                   rasterized=args.rasterised)
-    plt.axis([0, xmax, 0, ymax])
-    cbar = plt.colorbar()
-    cbar.set_label(wrap(z_label))
-    cbar.solids.set_rasterized(args.rasterised)
-    if zmax > 0:
-        levels = np.arange(zmax / 8, zmax, zmax / 8)
-        if args.contours == "normal":
-            plt.contour(matrix, colors="white", alpha=0.6, levels=levels)
-        elif args.contours == "smooth":
-            plt.contour(matrix_smooth, colors="white", alpha=0.6,
-                        levels=levels)
-    plt.title(wrap(title))
-    plt.xlabel(wrap(x_label))
-    plt.ylabel(wrap(y_label))
-    plt.grid(True, color="white", alpha=0.2)
-    plt.tight_layout()
-
+    plt = render(matrix, limits, labels, contours=args.contours,
+                 rasterised=args.rasterised, width=args.width,
+                 height=args.height)
     out = (args.output + "." + args.output_type if args.output_type
            else args.output)
     plt.savefig(correct_filename(out), dpi=args.dpi)

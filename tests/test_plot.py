@@ -171,3 +171,63 @@ def test_spectra_hist_auto_limits_match_reference_formula():
     got = auto_limits(xs, ys)
     ref = ref_limits(xs, ys)
     assert got == ref == (342, 9762 * 1.1)
+
+
+def test_density_auto_limits_match_reference_formula():
+    """Numeric pin of the density 99.5%-volume axis heuristic + peak-cell
+    color ceiling (VERDICT r3 copy cleanup): auto_limits must equal the
+    reference script's own formula (scripts/kat/plot/density.py:114-145),
+    transcribed here as the oracle, on the reference fixture matrices —
+    with and without the GC-axis y-scan skip."""
+    import numpy as np
+
+    from kat_tpu.plot.density import auto_limits
+    from kat_tpu.plot.misc import readheader
+
+    def ref_limits(matrix, y_label):
+        # faithful transcription of the reference formula (oracle)
+        def ref_findpeaks(a):
+            a = np.squeeze(np.asarray(a))
+            ad = np.sign(np.diff(a))
+            ad[ad == 0] = 1
+            return np.where(np.diff(ad) == -2)[0] + 1
+
+        msum = np.sum(matrix)
+        xsums = np.sum(matrix, 0)
+        ysums = np.sum(matrix, 1)
+        peakx = ref_findpeaks(xsums)
+        peaky = ref_findpeaks(ysums)
+        peakx = peakx[peakx != 1]
+        peaky = peaky[peaky != 1]
+        peakz = matrix[peaky, :][:, peakx]
+        xmax = len(xsums)
+        ymax = len(ysums)
+        for i in range(1, len(xsums), int(len(xsums) / 40) + 1):
+            if np.sum(xsums[:i]) >= msum * 0.995:
+                xmax = i
+                break
+        if y_label != "GC count":
+            for i in range(1, len(ysums), int(len(ysums) / 40) + 1):
+                if np.sum(ysums[:i]) >= msum * 0.995:
+                    ymax = i
+                    break
+        zmax = np.max(peakz) * 1.1 if peakz.size else 25
+        return xmax, ymax, zmax
+
+    res = "/root/reference/scripts/test/resources"
+    for fx in ("gcp1.mx", "spectracn1.mx", "spectracn2.mx"):
+        with open(f"{res}/{fx}") as f:
+            hdr = readheader(f)
+            matrix = np.loadtxt(f)
+        if hdr.get("Transpose") == "1":
+            matrix = np.transpose(matrix)
+        y_label = hdr.get("YLabel", "Y")
+        got = auto_limits(matrix, scan_y=y_label != "GC count")
+        ref = ref_limits(matrix, y_label)
+        assert got[0] == ref[0], fx
+        assert got[1] == ref[1], fx
+        assert abs(got[2] - ref[2]) < 1e-9 * max(ref[2], 1), fx
+        # and the non-GC branch exercises the y scan on the same data
+        got2 = auto_limits(matrix, scan_y=True)
+        ref2 = ref_limits(matrix, "anything else")
+        assert (got2[0], got2[1]) == (ref2[0], ref2[1]), fx
