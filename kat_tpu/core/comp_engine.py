@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from . import tables
-from .stats import spectrum
+from .stats import mask_bincount, spectrum
 
 
 def _scale_clamp(counts: jax.Array, scale: float, bins: int) -> jax.Array:
@@ -77,19 +77,16 @@ def pass1(t1, t2, t3, k: int, d1_bins: int, d2_bins: int, dm_size: int,
 
     s1 = _scale_clamp(h1, d1_scale, d1_bins)
     s2 = _scale_clamp(h2, d2_scale, d2_bins)
-    main_mx = jnp.zeros((d1_bins, d2_bins), jnp.uint64).at[s1, s2].add(w)
+    main_mx = mask_bincount((d1_bins, d2_bins), (s1, s2), w)
 
     if three:
         s3 = _scale_clamp(h3, d2_scale, d2_bins)
         ends_w = w * (s2 == s3)
         mixed_w = w * ((s2 != s3) & (h3 > 0))
         middle_w = w * ((s2 != s3) & (h3 == 0))
-        ends_mx = jnp.zeros((d1_bins, d2_bins), jnp.uint64).at[s1, s3].add(
-            ends_w)
-        mixed_mx = jnp.zeros((d1_bins, d2_bins), jnp.uint64).at[s1, s3].add(
-            mixed_w)
-        middle_mx = jnp.zeros((d1_bins, d2_bins), jnp.uint64).at[s1, s3].add(
-            middle_w)
+        ends_mx = mask_bincount((d1_bins, d2_bins), (s1, s3), ends_w)
+        mixed_mx = mask_bincount((d1_bins, d2_bins), (s1, s3), mixed_w)
+        middle_mx = mask_bincount((d1_bins, d2_bins), (s1, s3), middle_w)
     else:
         ends_mx = mixed_mx = middle_mx = None
 
@@ -118,8 +115,7 @@ def pass2(t2, t1, k: int, d2_bins: int, dm_size: int, d2_scale: float):
     spectrum2 = spectrum(h2, w, dm_size)
 
     s2 = _scale_clamp(h2, d2_scale, d2_bins)
-    row0 = jnp.zeros((d2_bins,), jnp.uint64).at[s2].add(
-        only.astype(jnp.uint64))
+    row0 = mask_bincount((d2_bins,), s2, only)
     return counters, spectrum2, row0
 
 

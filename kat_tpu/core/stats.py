@@ -16,6 +16,18 @@ from .counting import CountTable
 from .kmers import gc_count
 
 
+def mask_bincount(shape, idx, mask01, **scatter_kw) -> jax.Array:
+    """Scatter-add of a 0/1 weight mask into a uint64 accumulator —
+    accumulated in uint32 and widened afterwards.  TPU uint64 scatter-adds
+    run 6-13x slower than uint32 (64-bit integers are emulated, chip
+    measurement in docs/PERFORMANCE.md); since every element contributes
+    at most 1 and table capacities are < 2^32, uint32 accumulation is
+    exact.  idx may be an index array or a tuple (2D bins)."""
+    acc = jnp.zeros(shape, jnp.uint32).at[idx].add(
+        mask01.astype(jnp.uint32), **scatter_kw)
+    return acc.astype(jnp.uint64)
+
+
 @functools.partial(jax.jit, static_argnames=("base", "ceil", "inc",
                                               "nb_buckets"))
 def hist_from_counts(counts: jax.Array, base: int, ceil: int, inc: int,
@@ -29,8 +41,7 @@ def hist_from_counts(counts: jax.Array, base: int, ceil: int, inc: int,
     bucket = jnp.where(c < base, 0,
                        jnp.where(c > ceil, nb_buckets - 1,
                                  (c - base) // inc)).astype(jnp.int32)
-    w = (c > 0).astype(jnp.uint64)
-    return jnp.zeros((nb_buckets,), jnp.uint64).at[bucket].add(w)
+    return mask_bincount((nb_buckets,), bucket, c > 0)
 
 
 @functools.partial(jax.jit, static_argnames=("mer_len", "cvg_bins"))
@@ -51,18 +62,17 @@ def gcp_matrix(table: CountTable, mer_len: int, cvg_bins: int,
     cvg_pos = jnp.where(table.counts == 0, 0,
                         jnp.ceil(c * cvg_scale)).astype(jnp.int64)
     cvg_pos = jnp.minimum(cvg_pos, cvg_bins).astype(jnp.int32)
-    w = (table.counts > 0).astype(jnp.uint64)
-    out = jnp.zeros((mer_len + 1, cvg_bins + 1), jnp.uint64)
-    return out.at[gc, cvg_pos].add(w, mode="drop")
+    return mask_bincount((mer_len + 1, cvg_bins + 1), (gc, cvg_pos),
+                         table.counts > 0, mode="drop")
 
 
 @functools.partial(jax.jit, static_argnames=("nb_bins",))
 def spectrum(counts: jax.Array, weights: jax.Array, nb_bins: int) -> jax.Array:
     """CompCounters::updateSpectrum (comp_counters.cc:130-140): count<=0 ->
-    bin 0, count>=nb_bins -> last bin, else bin=count.  `weights` masks which
-    entries participate (and can carry multiplicity)."""
+    bin 0, count>=nb_bins -> last bin, else bin=count.  `weights` is a 0/1
+    participation mask (every caller passes real/shared masks; that bound
+    is what makes the uint32-accumulating scatter exact)."""
     c = counts.astype(jnp.int64)
     b = jnp.where(c <= 0, 0,
                   jnp.where(c >= nb_bins, nb_bins - 1, c)).astype(jnp.int32)
-    return jnp.zeros((nb_bins,), jnp.uint64).at[b].add(
-        weights.astype(jnp.uint64))
+    return mask_bincount((nb_bins,), b, weights)

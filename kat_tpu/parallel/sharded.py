@@ -48,7 +48,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core import wide as wide_mod
+from ..core import stats, wide as wide_mod
 from ..core.counting import CountTable, _unique_reduce, table_from_numpy
 from .collectives import psum_exact
 from ..core.kmers import MAX_K, SENTINEL, words_for_k
@@ -608,8 +608,7 @@ class ShardedCounter:
             bucket = jnp.where(c < base, 0,
                                jnp.where(c > ceil, nb_buckets - 1,
                                          (c - base) // inc)).astype(jnp.int32)
-            w = (c > 0).astype(jnp.uint64)
-            h = jnp.zeros((nb_buckets,), jnp.uint64).at[bucket].add(w)
+            h = stats.mask_bincount((nb_buckets,), bucket, c > 0)
             return psum_exact(h, self.axis_names)
 
         fn = shard_map(local_hist, mesh=self.mesh, in_specs=(spec,),

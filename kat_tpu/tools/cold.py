@@ -10,6 +10,7 @@ tables.
 
 from __future__ import annotations
 
+import os
 import numpy as np
 
 from ..core import coverage
@@ -17,7 +18,9 @@ from ..io import fastx
 from ..utils.timer import stage
 from .common import Input, ensure_parent_dir
 
-BATCH_SIZE = 1024
+BATCH_SIZE = int(os.environ.get("KAT_TPU_SEQ_BATCH", 1024))
+# 1024 matches reference src/sect.hpp:66; larger batches amortize
+# per-dispatch latency for big runs (device memory permitting).
 
 STATS_HEADER = ("seq_name\tread_median_cvg\tread_mean_cvg\tasm_cn\tgc%\t"
                 "seq_length\tkmers_in_seq\tinvalid_kmers\t%_invalid\t"

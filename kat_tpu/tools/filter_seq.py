@@ -11,6 +11,7 @@ TSV.  The one-at-a-time hash probing becomes batched device lookups.
 
 from __future__ import annotations
 
+import os
 import gzip
 import math
 import random
@@ -22,7 +23,9 @@ from ..io import fastx
 from ..utils.timer import stage
 from .common import Input, ensure_parent_dir
 
-PROFILE_BATCH = 1024
+PROFILE_BATCH = int(os.environ.get("KAT_TPU_SEQ_BATCH", 1024))
+# 1024 matches reference src/sect.hpp:66; larger batches amortize
+# per-dispatch latency for big runs (device memory permitting).
 
 
 class _Writer:

@@ -16,6 +16,7 @@ shorter than k.
 
 from __future__ import annotations
 
+import os
 import math
 
 import numpy as np
@@ -26,7 +27,9 @@ from ..io import fastx, mme
 from ..utils.timer import stage
 from .common import Input, ensure_parent_dir
 
-BATCH_SIZE = 1024  # reference src/sect.hpp:66
+BATCH_SIZE = int(os.environ.get("KAT_TPU_SEQ_BATCH", 1024))
+# 1024 matches reference src/sect.hpp:66; larger batches amortize
+# per-dispatch latency for big runs (device memory permitting).
 
 STATS_HEADER = ("seq_name\tmedian\tmean\tgc%\tseq_length\tkmers_in_seq\t"
                 "invalid_kmers\t%_invalid\tnon_zero_kmers\t%_non_zero\t"
