@@ -191,6 +191,10 @@ def _ingest_bench() -> dict:
             "ingest_kmers_per_s": round(windows / dt, 1),
             "ingest_seconds": round(dt, 2),
             "ingest_distinct": n_uniq,
+            # over the dev tunnel, host->device upload dominates this
+            # figure; it is a lower bound, NOT host-representative (see
+            # benchmarks/ingest_large.py reader_only for the host truth)
+            "ingest_tunnel_bound": True,
         }
     finally:
         os.unlink(path)

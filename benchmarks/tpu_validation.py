@@ -132,6 +132,10 @@ def main() -> None:
         record("wide_throughput", run_step(
             "wide", [py, "benchmarks/wide_bench.py"], 3600))
 
+    if "config5" not in skip:
+        record("config5", run_step(
+            "config5", [py, "benchmarks/config5_bench.py"], 5400))
+
     if "sharded" not in skip:
         record("sharded_one_chip", run_step(
             "sharded", [py, "benchmarks/sharded_one_chip.py"], 2400))
