@@ -24,6 +24,8 @@ from kat_tpu.ops.sort_kernel import (_pick_window, bitonic_final_phase,
                                      sort_planes_padded)
 
 
+pytestmark = pytest.mark.kernel_interpret
+
 def _keys(rng, n, hi_bits=10, sent_frac=0.02):
     hi = rng.integers(0, 1 << hi_bits, n).astype(np.uint32)
     lo = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)

@@ -12,6 +12,8 @@ from kat_tpu.ops.merge_kernel import merge_sorted_kernel
 S = int(SENTINEL)
 
 
+pytestmark = pytest.mark.kernel_interpret
+
 def _sorted_stream(rng, n, n_words, kmax=1 << 20):
     keys = rng.integers(0, kmax, (n, n_words), dtype=np.uint64).astype(
         np.uint32)

@@ -15,6 +15,8 @@ from kat_tpu.ops.reduce_kernel import reduce_compact_sorted
 S = int(SENTINEL)
 
 
+pytestmark = pytest.mark.kernel_interpret
+
 def _oracle(words_cols, w):
     from collections import defaultdict
 

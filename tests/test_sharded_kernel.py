@@ -21,6 +21,8 @@ from kat_tpu.io import fastx
 from kat_tpu.parallel.sharded import ShardedCounter, _fold_shift, make_mesh
 
 
+pytestmark = pytest.mark.kernel_interpret
+
 @pytest.fixture(scope="module")
 def seqs():
     rng = random.Random(23)

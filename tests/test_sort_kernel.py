@@ -13,6 +13,8 @@ from kat_tpu.core.kmers import SENTINEL
 from kat_tpu.ops.sort_kernel import bitonic_sort_planes, sort_planes_padded
 
 
+pytestmark = pytest.mark.kernel_interpret
+
 def _np_u64(hi, lo):
     return (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
 
