@@ -281,3 +281,35 @@ def test_lookup_mixed_queries_exact_plan():
     want = np.asarray(counting.lookup(single, jnp.asarray(hi),
                                       jnp.asarray(lo)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_lookup_join_in_shard_map(inputs, monkeypatch):
+    """On real meshes the routed lookup's local probe auto-routes through
+    the sort-merge join (tables.lookup policy + kernels on); exercise
+    exactly that composition — Pallas sort/merge inside shard_map — in
+    interpret mode on the CPU mesh."""
+    monkeypatch.setenv("KAT_TPU_KERNEL", "1")
+    monkeypatch.setenv("KAT_TPU_JOIN", "1")
+    from kat_tpu.core import counting as _counting
+
+    _counting.kernels_enabled.cache_clear()
+    try:
+        s1, s2 = inputs
+        mesh = make_mesh(8)
+        c = _count_sharded(s1, mesh)
+        t = _count_single(s1)
+        recs = [fastx.Record(f"q{i}", s.encode())
+                for i, s in enumerate(s2)]
+        batch = next(fastx.encode_batches(iter(recs), K,
+                                          target_codes=1 << 11))
+        words, valid = tables.extract(jnp.asarray(batch), K,
+                                      canonical=False)
+        q = tables.canonicalize(words, K)
+        svc = ShardedLookup(c)
+        got = svc.lookup([np.asarray(w) for w in q])
+        want = np.asarray(tables.lookup(t, q))
+        np.testing.assert_array_equal(
+            np.where(np.asarray(valid), got, 0),
+            np.where(np.asarray(valid), want, 0))
+    finally:
+        _counting.kernels_enabled.cache_clear()
