@@ -20,6 +20,19 @@ from . import tables
 
 
 @functools.partial(jax.jit, static_argnames=("k", "canonical"))
+def window_hit_counts(table, codes: jax.Array, k: int, canonical: bool):
+    """Per-row (valid windows with count>0, valid windows) — the
+    device-reduced form of `window_counts` for consumers that only need
+    per-record hit ratios (filter seq, src/filter_sequence.cc:330-368).
+    Fetching two [rows] vectors instead of [rows, W] count planes keeps
+    host<->device traffic off the profile loop."""
+    counts, _gc, valid = window_counts(table, codes, k, canonical)
+    hits = jnp.sum(((counts > 0) & valid).astype(jnp.int32), axis=-1)
+    nwin = jnp.sum(valid.astype(jnp.int32), axis=-1)
+    return hits, nwin
+
+
+@functools.partial(jax.jit, static_argnames=("k", "canonical"))
 def window_counts(table, codes: jax.Array, k: int, canonical: bool):
     """Counts + GC per window of each row.
 

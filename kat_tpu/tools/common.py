@@ -236,6 +236,26 @@ class Input:
             self.canonical)
         return np.asarray(c), np.asarray(g), np.asarray(v)
 
+    def window_hit_counts(self, codes):
+        """Per-row (hits, valid windows) with the reduction done on
+        device — fetches two [rows] vectors instead of [rows, W] planes
+        (the profile loop of filter seq only needs ratios)."""
+        if self.shards is not None:
+            c, _g, v = self.window_counts(codes)
+            return (((c > 0) & v).sum(axis=-1).astype(np.int64),
+                    v.sum(axis=-1).astype(np.int64))
+        import jax.numpy as jnp
+
+        from ..core import coverage, tables
+
+        if getattr(self, "_lookup_table_src", None) is not self.table:
+            self._lookup_table = tables.compact(self.table)
+            self._lookup_table_src = self.table
+        hits, nwin = coverage.window_hit_counts(
+            self._lookup_table, jnp.asarray(codes), self.mer_len,
+            self.canonical)
+        return np.asarray(hits), np.asarray(nwin)
+
     def host_table(self):
         """The (narrow or wide) host-side table, materializing it from the
         mesh shards on first demand.  Sharded-aware tools (hist/gcp/comp/

@@ -141,17 +141,20 @@ class FilterSeq:
                 stats_f.close()
 
     def _profiles(self, records: list[fastx.Record]):
-        """(matches, nb_kmers) per record via batched device lookups."""
-        import jax.numpy as jnp
+        """(matches, nb_kmers) per record via batched device lookups.
 
-        k = self.input.mer_len
+        The hit reduction runs ON DEVICE (window_hit_counts): only two
+        [rows] vectors come back per batch, so the profile loop is not
+        host-transfer-bound.  Rows hold a single record's chunk (padding
+        is invalid), so a row's device hit count equals the old
+        hit[row, :nw].sum()."""
         matches = np.zeros(len(records), np.int64)
         nb_kmers = np.zeros(len(records), np.int64)
-        for codes, meta in fastx.encode_batch_indexed(records, k):
-            c, _g, _v = self.input.window_counts(codes)
-            hit = np.asarray(c) > 0
+        for codes, meta in fastx.encode_batch_indexed(records, k=(
+                self.input.mer_len)):
+            hits, _nwin = self.input.window_hit_counts(codes)
             for row, (ri, _start, nw) in enumerate(meta):
-                matches[ri] += int(hit[row, :nw].sum())
+                matches[ri] += int(hits[row])
                 nb_kmers[ri] += nw
         return matches, nb_kmers
 
