@@ -33,7 +33,7 @@ from kat_tpu.ops.sort_kernel import LANES, _cmpx_roll, _lex_less  # noqa: E402
 SMALL = bool(os.environ.get("KAT_TPU_ROLL_SMALL"))  # CPU interpret smoke
 BR = 128 if SMALL else 512
 N = (1 << 15) if SMALL else (1 << 24)
-R = 4 if SMALL else 64
+R = 4 if SMALL else 512
 
 
 def _kernel(mode, h_ref, l_ref, oh_ref, ol_ref):
@@ -45,6 +45,9 @@ def _kernel(mode, h_ref, l_ref, oh_ref, ol_ref):
     row = jax.lax.broadcasted_iota(jnp.int32, (BR, LANES), 0)
 
     def body(_, planes):
+        if mode == "copy":
+            # I/O + loop skeleton only: the dispatch/DMA floor
+            return (planes[0] + 1, planes[1] + 1)
         if mode == "alu":
             # same comparator arithmetic, no data movement
             d = _lex_less((planes[1], planes[0]), planes)
@@ -52,8 +55,26 @@ def _kernel(mode, h_ref, l_ref, oh_ref, ol_ref):
             take = (di != 0)
             return tuple(jnp.where(take, b, a)
                          for a, b in zip(planes, planes[::-1]))
-        axis = 1 if mode.startswith("lane") else 0
         s = int(mode.split("-")[1])
+        if mode.startswith("rowsel"):
+            # reshape-select row-stride round: pair rows at stride s via
+            # a [BR/(2s), 2, s, LANES] view — no rolls, compare on half
+            # the elements (the merge kernel's block-pair formulation at
+            # sub-block granularity)
+            sh = [p.reshape(BR // (2 * s), 2, s, LANES) for p in planes]
+            top = [p[:, 0] for p in sh]
+            bot = [p[:, 1] for p in sh]
+            d = _lex_less(bot, top)
+            dm = (dmi.reshape(BR // (2 * s), 2, s, LANES)[:, 0]) != 0
+            swap = d ^ dm
+            out = []
+            for t, b in zip(top, bot):
+                lo_v = jnp.where(swap, b, t)
+                hi_v = jnp.where(swap, t, b)
+                out.append(jnp.stack([lo_v, hi_v], axis=1)
+                           .reshape(BR, LANES))
+            return tuple(out)
+        axis = 1 if mode.startswith("lane") else 0
         idx = lane if axis == 1 else row
         size = LANES if axis == 1 else BR
         return tuple(_cmpx_roll(list(planes), s, axis, size, idx, 2,
@@ -95,11 +116,16 @@ def main():
             interpret=SMALL,
         ))
 
-    base = timed(make("alu"), h, lo)
-    res["alu_round_ns_per_elt"] = round(base / R / N * 1e9, 5)
-    for mode in ("lane-1", "lane-16", "lane-64", "row-1", "row-64"):
-        t = timed(make(mode), h, lo)
-        res[f"{mode}_round_ns_per_elt"] = round(t / R / N * 1e9, 5)
+    with jax.enable_x64(False):  # x64 loop carries don't lower in Mosaic
+        floor = timed(make("copy"), h, lo)
+        res["floor_ms"] = round(floor * 1e3, 2)
+        modes = ["alu", "lane-1", "lane-64", "row-1", "row-64"]
+        modes += [f"rowsel-{s}" for s in (1, 16, 64, 256) if 2 * s <= BR]
+        for mode in modes:
+            t = timed(make(mode), h, lo)
+            res[f"{mode}_round_ns_per_elt"] = round(
+                (t - floor) / R / N * 1e9, 5)
+            res[f"{mode}_ms"] = round(t * 1e3, 1)
     print(json.dumps(res), flush=True)
 
 

@@ -103,6 +103,37 @@ def _cmpx_roll(planes, s, axis, size, idx, n_key_words, dmi, br):
     return [jnp.where(take, pv, x) for pv, x in zip(partners, planes)]
 
 
+# Row-stride rounds whose stride is a multiple of the (8, 128) sublane
+# tile run as reshape-SELECT pairs instead of rolls: a [br/(2s), 2, s,
+# LANES] view pairs rows without any cross-lane/sublane data movement,
+# the comparator runs on HALF the elements, and the write-back is a
+# tile-aligned interleave.  Chip-measured (benchmarks/profile_roll.py):
+# 0.0009 ns/elt/round vs 0.0088 for the same round as a sublane roll —
+# ~10x — while sub-tile strides (1/2/4) lower to interleaving relayouts
+# that are WORSE than rolls (0.026 at stride 1), so those stay rolls.
+# KAT_TPU_ROWSEL sets the minimum reshape-select row stride (0 disables).
+ROWSEL_MIN = int(_os.environ.get("KAT_TPU_ROWSEL", "8"))
+
+
+def _cmpx_rowsel(planes, sr, n_key_words, br, dmi):
+    """Compare-exchange rows at tile-aligned stride sr via reshape-select
+    (see ROWSEL_MIN).  dmi: [br, LANES] int32 0/1 descending mask,
+    constant across each pair (both elements share bit q)."""
+    g = br // (2 * sr)
+    sh = [p.reshape(g, 2, sr, LANES) for p in planes]
+    top = [p[:, 0] for p in sh]
+    bot = [p[:, 1] for p in sh]
+    d = _lex_less(bot[:n_key_words], top[:n_key_words])
+    dm = dmi.reshape(g, 2, sr, LANES)[:, 0] != 0
+    swap = d ^ dm
+    out = []
+    for t, b in zip(top, bot):
+        lo = jnp.where(swap, b, t)
+        hi = jnp.where(swap, t, b)
+        out.append(jnp.stack([lo, hi], axis=1).reshape(br, LANES))
+    return out
+
+
 def _round_dyn_q(planes, q, r, n_key_words, br, fi_global):
     """One compare-exchange round at STATIC stride 2^r: ascending where
     bit q of the global element index is 0, with q a TRACED scalar.
@@ -117,8 +148,11 @@ def _round_dyn_q(planes, q, r, n_key_words, br, fi_global):
         lane = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 1)
         return _cmpx_roll(planes, 1 << r, 1, LANES, lane, n_key_words,
                           dmi, br)
+    sr = 1 << (r - 7)
+    if ROWSEL_MIN and sr >= ROWSEL_MIN:
+        return _cmpx_rowsel(planes, sr, n_key_words, br, dmi)
     row = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 0)
-    return _cmpx_roll(planes, 1 << (r - 7), 0, br, row, n_key_words,
+    return _cmpx_roll(planes, sr, 0, br, row, n_key_words,
                       dmi, br)
 
 
@@ -130,7 +164,11 @@ def _intra_tail(planes, n_key_words, br, desc):
     row = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 0)
     sr = br // 2
     while sr >= 1:
-        planes = _cmpx_roll(planes, sr, 0, br, row, n_key_words, dmi, br)
+        if ROWSEL_MIN and sr >= ROWSEL_MIN:
+            planes = _cmpx_rowsel(planes, sr, n_key_words, br, dmi)
+        else:
+            planes = _cmpx_roll(planes, sr, 0, br, row, n_key_words, dmi,
+                                br)
         sr //= 2
     lane = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 1)
     s = LANES // 2
