@@ -98,3 +98,57 @@ def test_table_from_numpy_roundtrip():
     counts = np.array([2, 1, 7, 3, 9], np.uint32)
     table = counting.table_from_numpy(keys, counts, capacity=8)
     assert _table_dict(table) == {1: 1, 5: 5, 99: 7, 2 ** 50: 9}
+
+
+def test_mask_bincount_matches_u64_scatter():
+    """stats.mask_bincount (u32-accumulating scatter, the TPU-fast form)
+    is exact for 0/1 masks — 1D, 2D, and mode='drop'."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kat_tpu.core.stats import mask_bincount
+
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, 50, size=10_000).astype(np.int32))
+    mask = jnp.asarray(rng.random(10_000) < 0.7)
+    got = np.asarray(mask_bincount((50,), idx, mask))
+    want = np.zeros(50, np.uint64)
+    np.add.at(want, np.asarray(idx), np.asarray(mask).astype(np.uint64))
+    np.testing.assert_array_equal(got, want)
+    assert got.dtype == np.uint64
+
+    j = jnp.asarray(rng.integers(0, 7, size=10_000).astype(np.int32))
+    got2 = np.asarray(mask_bincount((50, 7), (idx, j), mask))
+    want2 = np.zeros((50, 7), np.uint64)
+    np.add.at(want2, (np.asarray(idx), np.asarray(j)),
+              np.asarray(mask).astype(np.uint64))
+    np.testing.assert_array_equal(got2, want2)
+
+    # out-of-range drops with mode="drop"
+    idx3 = jnp.asarray(np.array([0, 99, 3], np.int32))
+    got3 = np.asarray(mask_bincount(
+        (5,), idx3, jnp.asarray([True, True, True]), mode="drop"))
+    np.testing.assert_array_equal(got3, [1, 0, 0, 1, 0])
+
+
+def test_window_hit_counts_matches_window_counts():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kat_tpu.core import coverage, counting, kmers
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, size=(8, 64), dtype=np.uint8)
+    codes[2, 10] = 4  # invalid base
+    k = 9
+    hi, lo, valid = kmers.extract_kmers(jnp.asarray(codes), k, True)
+    table = counting.count_batch(hi, lo, valid, out_size=1 << 10)
+
+    c, _g, v = coverage.window_counts(table, jnp.asarray(codes), k, True)
+    hits, nwin = coverage.window_hit_counts(table, jnp.asarray(codes), k,
+                                            True)
+    np.testing.assert_array_equal(
+        np.asarray(hits),
+        np.asarray(((c > 0) & v).sum(axis=-1)).astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(nwin),
+                                  np.asarray(v.sum(axis=-1), np.int32))
