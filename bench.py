@@ -132,6 +132,14 @@ def child_main() -> None:
 
     kmers_per_s = bench_batches * windows / best_dt
 
+    _stage("lookup")
+    lookup = {}
+    if not degraded:
+        try:
+            lookup = _lookup_bench(sc, batches)
+        except Exception as e:  # secondary metric must never sink the run
+            lookup = {"lookup_error": str(e)[:200]}
+
     _stage("ingest")
     ingest = _ingest_bench() if not degraded else {
         "ingest_skipped": "degraded chip pool"}
@@ -142,8 +150,47 @@ def child_main() -> None:
         "unit": "kmers/s",
         "vs_baseline": round(kmers_per_s / 1e9, 4),
         **verify,
+        **lookup,
         **ingest,
     }), flush=True)
+
+
+def _lookup_bench(sc, batches) -> dict:
+    """Analysis-phase secondary metric: bulk lookups/s through the
+    sort-merge join (ops/join.py) against the table the headline run just
+    built — the sect/comp/filter probe engine (reference
+    large_hash_array.hpp:404-476 get_key_id)."""
+    import time as _t
+
+    import jax.numpy as jnp
+
+    from kat_tpu.core import coverage, tables
+    from kat_tpu.ops.join import counts_join
+    from kat_tpu.core.counting import _kernel_interpret, kernels_enabled
+
+    tab = tables.compact(sc.current_table())
+    words, _valid = coverage.tables.extract(batches[0], 27, canonical=False)
+    qc = coverage.tables.canonicalize(words, 27)
+    m = min(1 << 22, qc[0].size)
+    q = tuple(w.reshape(-1)[:m] for w in qc)
+
+    def run():
+        out = counts_join(tables.key_words(tab), tab.counts, q,
+                          use_kernel=kernels_enabled(),
+                          interpret=_kernel_interpret())
+        return np.asarray(out[:8])
+
+    run()  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        run()
+        best = min(best, _t.perf_counter() - t0)
+    return {
+        "lookup_join_per_s": round(m / best, 1),
+        "lookup_join_ns_per_query": round(best / m * 1e9, 2),
+        "lookup_table_entries": int(tab.n_unique),
+    }
 
 
 def _ingest_bench() -> dict:
