@@ -74,7 +74,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip", default="",
                     help="comma list: probe,verify,bench,analysis,join,"
-                         "golden,sharded,ingest,wide")
+                         "golden,sharded,ingest,wide,config5")
     args = ap.parse_args()
     skip = set(filter(None, args.skip.split(",")))
 

@@ -32,7 +32,7 @@ def real_mask(table) -> jax.Array:
     return m
 
 
-def _join_policy(m: int, cap: int) -> bool:
+def _join_policy(m: int, cap: int, n_words: int) -> bool:
     """Route a bulk lookup through the sort-merge join (ops/join.py)?
 
     The join's streaming passes cost ~O(cap + m); the binary search costs
@@ -41,9 +41,18 @@ def _join_policy(m: int, cap: int) -> bool:
     couple orders of magnitude of the table, and only the Pallas-kernel
     backends make its sorts fast — so: kernels on AND m large enough.
     KAT_TPU_JOIN=0 forces the binary search, =1 forces the join.
+
+    Safety override on both paths: with kernels DISABLED the join falls
+    back to variadic lax.sort with n_words+1 operands, and a TPU backend
+    compiles variadic sorts past 8 operands pathologically (minutes;
+    CLAUDE.md) — so wide keys + no kernels + a TPU backend always use
+    the binary search, even when the env forces the join.
     """
     env = os.environ.get("KAT_TPU_JOIN")
     if env == "0":
+        return False
+    if (not counting.kernels_enabled() and n_words + 1 > 8
+            and jax.default_backend() in ("tpu", "axon")):
         return False
     if env == "1":
         return True
@@ -61,7 +70,7 @@ def lookup(table, qwords) -> jax.Array:
     backends use the vectorized binary search.
     """
     m = int(np.prod(qwords[0].shape)) if qwords[0].ndim else 1
-    if _join_policy(m, table.counts.shape[0]):
+    if _join_policy(m, table.counts.shape[0], len(qwords)):
         from ..ops.join import counts_join
 
         return counts_join(

@@ -38,6 +38,7 @@
 //        -lz -lpthread
 
 #include <fcntl.h>
+#include <sys/stat.h>
 #include <unistd.h>
 #include <zlib.h>
 
@@ -204,8 +205,24 @@ struct Reader {
   int64_t offset() const { return buf_base + static_cast<int64_t>(pos); }
 };
 
+// First byte of a gzip stream's DECOMPRESSED content (regular files).
+int sniff_fmt_decompressed(const char* path) {
+  gzFile f = gzopen(path, "rb");
+  if (!f) return 0;
+  unsigned char b;
+  int n = gzread(f, &b, 1);
+  gzclose(f);
+  if (n != 1) return 0;
+  return (b == '>') ? 1 : (b == '@') ? 2 : 0;
+}
+
 // First byte of the file (format sniff), via pread (no stream state).
+// Returns 0 for unknown AND for non-REGULAR inputs (FIFOs, /dev/stdin —
+// never even opened: an open()+close() on a FIFO can block or disturb
+// the writer) — kat_fastx_open falls back to a live-handle peek.
 int sniff_fmt(const char* path) {
+  struct stat st;
+  if (stat(path, &st) != 0 || !S_ISREG(st.st_mode)) return 0;
   int fd = open(path, O_RDONLY);
   if (fd < 0) return 0;
   unsigned char b[2] = {0, 0};
@@ -297,17 +314,27 @@ int kat_fastx_sniff(const char* path) { return sniff_fmt(path); }
 
 void* kat_fastx_open(const char* path, int trim5) {
   int fmt = sniff_fmt(path);
-  if (fmt == -1) {  // gzip: sniff the decompressed first byte
-    gzFile f = gzopen(path, "rb");
-    if (!f) return nullptr;
-    unsigned char b;
-    int n = gzread(f, &b, 1);
-    gzclose(f);
-    if (n != 1) return nullptr;
-    fmt = (b == '>') ? 1 : (b == '@') ? 2 : 0;
+  if (fmt == -1) fmt = sniff_fmt_decompressed(path);
+  if (fmt > 0) return open_common(path, trim5, fmt, 0, INT64_MAX, false);
+  // Non-seekable input (FIFO, /dev/stdin, process substitution) or
+  // unreadable: sniff on the LIVE handle so no byte is lost (the
+  // original C ABI accepted pipes; pread cannot).
+  gzFile f = gzopen(path, "rb");
+  if (!f) return nullptr;
+  gzbuffer(f, 1 << 20);
+  Reader* r = new Reader();
+  r->f = f;
+  r->trim_left = trim5;
+  int c = r->peek();
+  if (c == '>') {
+    r->fmt = 1;
+  } else if (c == '@') {
+    r->fmt = 2;
+  } else {
+    delete r;
+    return nullptr;
   }
-  if (fmt <= 0) return nullptr;
-  return open_common(path, trim5, fmt, 0, INT64_MAX, false);
+  return r;
 }
 
 // Reader over the records whose header byte lies in [start, end) of a
@@ -333,16 +360,8 @@ void* kat_fastx_open_range(const char* path, int trim5, int64_t start,
 // thread (double-buffered) — parse overlaps decompression.
 void* kat_fastx_open_threaded(const char* path, int trim5) {
   int fmt = sniff_fmt(path);
-  if (fmt == -1) {
-    gzFile f = gzopen(path, "rb");
-    if (!f) return nullptr;
-    unsigned char b;
-    int n = gzread(f, &b, 1);
-    gzclose(f);
-    if (n != 1) return nullptr;
-    fmt = (b == '>') ? 1 : (b == '@') ? 2 : 0;
-  }
-  if (fmt <= 0) return nullptr;
+  if (fmt == -1) fmt = sniff_fmt_decompressed(path);
+  if (fmt <= 0) return nullptr;  // pipes take the kat_fastx_open path
   return open_common(path, trim5, fmt, 0, INT64_MAX, true);
 }
 

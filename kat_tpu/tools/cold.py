@@ -16,11 +16,12 @@ import numpy as np
 from ..core import coverage
 from ..io import fastx
 from ..utils.timer import stage
+from . import common
 from .common import Input, ensure_parent_dir
 
-BATCH_SIZE = int(os.environ.get("KAT_TPU_SEQ_BATCH", 1024))
 # 1024 matches reference src/sect.hpp:66; larger batches amortize
 # per-dispatch latency for big runs (device memory permitting).
+BATCH_SIZE = common.env_int("KAT_TPU_SEQ_BATCH", 1024)
 
 STATS_HEADER = ("seq_name\tread_median_cvg\tread_mean_cvg\tasm_cn\tgc%\t"
                 "seq_length\tkmers_in_seq\tinvalid_kmers\t%_invalid\t"

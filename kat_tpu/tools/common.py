@@ -223,16 +223,10 @@ class Input:
                 self._lookup_svc, codes, self.mer_len, self.canonical)
         import jax.numpy as jnp
 
-        from ..core import coverage, tables
+        from ..core import coverage
 
-        # Compact once per finished table: bulk lookups pay streaming
-        # passes over the table's capacity, so probing at the growth
-        # policy's final (possibly 2x-oversized) capacity wastes bandwidth.
-        if getattr(self, "_lookup_table_src", None) is not self.table:
-            self._lookup_table = tables.compact(self.table)
-            self._lookup_table_src = self.table
         c, g, v = coverage.window_counts(
-            self._lookup_table, jnp.asarray(codes), self.mer_len,
+            self._compacted_table(), jnp.asarray(codes), self.mer_len,
             self.canonical)
         return np.asarray(c), np.asarray(g), np.asarray(v)
 
@@ -246,15 +240,24 @@ class Input:
                     v.sum(axis=-1).astype(np.int64))
         import jax.numpy as jnp
 
-        from ..core import coverage, tables
+        from ..core import coverage
+
+        hits, nwin = coverage.window_hit_counts(
+            self._compacted_table(), jnp.asarray(codes), self.mer_len,
+            self.canonical)
+        return np.asarray(hits), np.asarray(nwin)
+
+    def _compacted_table(self):
+        """The finished table compacted for the lookup phase (cached per
+        table identity): bulk lookups pay streaming passes over the
+        table's capacity, so probing at the growth policy's final
+        (possibly 2x-oversized) capacity wastes bandwidth."""
+        from ..core import tables
 
         if getattr(self, "_lookup_table_src", None) is not self.table:
             self._lookup_table = tables.compact(self.table)
             self._lookup_table_src = self.table
-        hits, nwin = coverage.window_hit_counts(
-            self._lookup_table, jnp.asarray(codes), self.mer_len,
-            self.canonical)
-        return np.asarray(hits), np.asarray(nwin)
+        return self._lookup_table
 
     def host_table(self):
         """The (narrow or wide) host-side table, materializing it from the
@@ -381,6 +384,22 @@ def _next_pow2(n: int) -> int:
 def parse_trim_list(spec: str) -> list[int]:
     """Comma-separated 5' trim values (histogram.cc:334-337)."""
     return [int(v) for v in spec.split(",")]
+
+
+def env_int(name: str, default: int) -> int:
+    """Integer env knob with a warn-and-fallback on malformed values (a
+    user typo must degrade to the default, not crash at import)."""
+    import warnings
+
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        warnings.warn(f"{name}={raw!r} is not an integer; using {default}",
+                      stacklevel=2)
+        return default
 
 
 def ensure_parent_dir(path_prefix: str) -> None:

@@ -21,11 +21,12 @@ import numpy as np
 from ..core import coverage
 from ..io import fastx
 from ..utils.timer import stage
+from . import common
 from .common import Input, ensure_parent_dir
 
-PROFILE_BATCH = int(os.environ.get("KAT_TPU_SEQ_BATCH", 1024))
 # 1024 matches reference src/sect.hpp:66; larger batches amortize
 # per-dispatch latency for big runs (device memory permitting).
+PROFILE_BATCH = common.env_int("KAT_TPU_SEQ_BATCH", 1024)
 
 
 class _Writer:

@@ -25,11 +25,12 @@ from ..core import coverage
 from ..core.matrix import Matrix
 from ..io import fastx, mme
 from ..utils.timer import stage
+from . import common
 from .common import Input, ensure_parent_dir
 
-BATCH_SIZE = int(os.environ.get("KAT_TPU_SEQ_BATCH", 1024))
 # 1024 matches reference src/sect.hpp:66; larger batches amortize
 # per-dispatch latency for big runs (device memory permitting).
+BATCH_SIZE = common.env_int("KAT_TPU_SEQ_BATCH", 1024)
 
 STATS_HEADER = ("seq_name\tmedian\tmean\tgc%\tseq_length\tkmers_in_seq\t"
                 "invalid_kmers\t%_invalid\tnon_zero_kmers\t%_non_zero\t"
