@@ -282,22 +282,31 @@ class CodeStreamingCounter:
                 rows = self._shape[0]
                 if codes.shape[0] > rows:
                     self._flush()
-                    self._shape = codes.shape
+                    self._set_shape(codes.shape)
                 else:
                     codes = jnp.concatenate([
                         jnp.asarray(codes),
                         jnp.full((rows - codes.shape[0], codes.shape[1]),
                                  255, jnp.uint8)])
             else:
-                self._shape = codes.shape
-                if self.flush_windows:
-                    w = codes.shape[0] * (codes.shape[1] - self.k + 1)
-                    self._fb_eff = max(1, self.flush_windows // max(w, 1))
-                else:
-                    self._fb_eff = self.flush_batches
+                self._set_shape(codes.shape)
         self._codes.append(jax.device_put(codes))
         if len(self._codes) >= self._fb_eff:
             self._flush()
+
+    def _set_shape(self, shape) -> None:
+        """Adopt a new slab geometry and recompute the flush budget for
+        it.  EVERY shape change must come through here: the budget is
+        slabs-per-flush, so carrying a budget computed for a small first
+        slab (parallel range readers often yield a short batch first)
+        onto full-size slabs would stack flush_windows x (old/new slab
+        ratio) of HBM into one flush — a 25GB OOM in the wild."""
+        self._shape = shape
+        if self.flush_windows:
+            w = shape[0] * (shape[1] - self.k + 1)
+            self._fb_eff = max(1, self.flush_windows // max(w, 1))
+        else:
+            self._fb_eff = self.flush_batches
 
     def _flush_fn(self, b: int, rows: int, length: int, cap: int):
         key = (b, rows, length, cap)

@@ -152,3 +152,49 @@ def test_window_hit_counts_matches_window_counts():
         np.asarray(((c > 0) & v).sum(axis=-1)).astype(np.int32))
     np.testing.assert_array_equal(np.asarray(nwin),
                                   np.asarray(v.sum(axis=-1), np.int32))
+
+
+def test_flush_budget_recomputed_on_slab_growth():
+    """A short FIRST batch (common with parallel range readers) must not
+    carry its slabs-per-flush budget onto full-size slabs — that stacked
+    flush_windows x (slab ratio) of HBM into one flush (25GB OOM on
+    chip, round 4).  The budget must be recomputed at every slab-shape
+    adoption, and counts must stay exact."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kat_tpu.core import counting
+
+    rng = np.random.default_rng(0)
+    k = 9
+    L = 64
+    wpr = L - k + 1
+    sc = counting.CodeStreamingCounter(
+        k, canonical=True, initial_capacity=1 << 14,
+        max_capacity=1 << 18, flush_windows=8 * 32 * wpr)
+
+    max_stacked = 0
+    small = rng.integers(0, 4, size=(2, L), dtype=np.uint8)
+    sc.add_codes(small)  # tiny first slab: budget computed for 2 rows
+    big_batches = [rng.integers(0, 4, size=(32, L), dtype=np.uint8)
+                   for _ in range(40)]
+    for b in big_batches:
+        sc.add_codes(b)
+        if sc._codes:  # _shape is None right after a flush
+            max_stacked = max(max_stacked,
+                              len(sc._codes) * sc._shape[0])
+    # stacked rows per flush must track the WINDOW budget (8 slabs of 32
+    # rows), not the 128-slab budget the 2-row first batch implied
+    assert max_stacked <= 9 * 32, max_stacked
+
+    table = sc.finish()
+    import oracle
+
+    def dec(batch):
+        return ["".join("ACGT"[c] for c in row) for row in batch]
+
+    seqs = dec(small) + [s for b in big_batches for s in dec(b)]
+    want = oracle.count_seqs(seqs, k)
+    keys, counts = counting.table_to_numpy(table)
+    got = dict(zip(keys.tolist(), counts.tolist()))
+    assert got == dict(want)
