@@ -95,7 +95,8 @@ def main() -> None:
 
     # -- 1. bulk lookup: join vs binary search, m = 2^22 queries --------
     _mark("lookup join")
-    words, valid = coverage.tables.extract(q_batches[0], K, canonical=False)
+    words, _valid = coverage.tables.extract(q_batches[0], K,
+                                             canonical=False)
     qc = coverage.tables.canonicalize(words, K)
     qfull = qc[0].reshape(-1)
     m = min(1 << 22, qfull.shape[0])

@@ -1,9 +1,11 @@
 """Per-round cost of the sort kernel's compare-exchange classes on chip.
 
-Times R repeated rounds of `_cmpx_roll` inside one VMEM-resident Pallas
+Times R repeated compare-exchange rounds inside one VMEM-resident Pallas
 kernel (load once, R rounds through registers, store once), for:
-  - lane rolls (axis=1, strides 1/16/64 — the cross-lane permute path)
+  - lane rolls (axis=1, strides 1/64 — the cross-lane permute path)
   - sublane rolls (axis=0, strides 1/64 — the row path)
+  - reshape-select row pairs (rowsel-s: the [g, 2, s, 128] view the sort
+    kernel uses for tile-aligned row strides)
   - a no-roll ALU round (same lex compare + selects on unshifted data)
 
 The difference divided by R is the marginal ns/elt/round of each class:

@@ -12,6 +12,7 @@ the grant), with a per-step timeout and structured capture:
   7. sharded-vs-single one-chip ratio
   8. large gz ingest exercise
   9. wide-key (k=33, 4-word) steady-state throughput
+ 10. BASELINE config 5 end-to-end (filter kmer -> filter seq -> comp)
 
 Results land in TPU_VALIDATION_r04.json as they arrive (the file is
 rewritten after every step, so a mid-queue tunnel death still leaves

@@ -89,6 +89,8 @@ def counts_join(twords, tcounts, qwords, use_kernel: bool = False,
         return jnp.zeros(shape, jnp.uint32)
     n_t = twords[0].shape[0]
     idx = jnp.arange(1, m + 1, dtype=jnp.uint32)
+    tidx = jnp.full((n_t,), SENTINEL, jnp.uint32)
+    zcnt = jnp.zeros((m,), jnp.uint32)
 
     if use_kernel:
         from .merge_kernel import merge_sorted_kernel
@@ -100,30 +102,24 @@ def counts_join(twords, tcounts, qwords, use_kernel: bool = False,
         # can never drop a real query.
         sq = sort_planes_padded(qs + (idx,), n_words + 1,
                                 interpret=interpret)
-        sqw, sqi = sq[:n_words], sq[n_words]
-        tidx = jnp.full((n_t,), SENTINEL, jnp.uint32)
-        zcnt = jnp.zeros((m,), jnp.uint32)
         mw, mp = merge_sorted_kernel(twords, (tcounts, tidx),
-                                     sqw, (zcnt, sqi),
+                                     sq[:n_words], (zcnt, sq[n_words]),
                                      interpret=interpret)
     else:
         from .merge import merge_sorted
 
         sq = jax.lax.sort(qs + (idx,), num_keys=n_words)
-        sqw, sqi = sq[:n_words], sq[n_words]
-        tidx = jnp.full((n_t,), SENTINEL, jnp.uint32)
-        zcnt = jnp.zeros((m,), jnp.uint32)
         mw, mp = merge_sorted(twords, (tcounts, tidx),
-                              sqw, (zcnt, sqi))
+                              sq[:n_words], (zcnt, sq[n_words]))
 
     mcnt, midx = mp
     big_n = mw[0].shape[0]
     c = _run_max(mw, mcnt)
 
     if use_kernel:
-        from .sort_kernel import sort_planes_padded as _spp
+        from .sort_kernel import sort_planes_padded
 
-        si, sc = _spp((midx, c), 1, interpret=interpret)
+        si, sc = sort_planes_padded((midx, c), 1, interpret=interpret)
     else:
         si, sc = jax.lax.sort((midx, c), num_keys=1)
 
