@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from . import tables
-from .stats import mask_bincount, spectrum
+from .stats import binned_sum, mask_bincount, spectrum
 
 
 def _scale_clamp(counts: jax.Array, scale: float, bins: int) -> jax.Array:
@@ -77,7 +77,10 @@ def pass1(t1, t2, t3, k: int, d1_bins: int, d2_bins: int, dm_size: int,
 
     s1 = _scale_clamp(h1, d1_scale, d1_bins)
     s2 = _scale_clamp(h2, d2_scale, d2_bins)
-    main_mx = mask_bincount((d1_bins, d2_bins), (s1, s2), w)
+    # s1/s2 are clamped in range, so the 2D count collapses to one flat
+    # binned sum (sort+reduce on TPU, scatter elsewhere)
+    main_mx = binned_sum(d1_bins * d2_bins, s1 * d2_bins + s2,
+                         w).reshape(d1_bins, d2_bins)
 
     if three:
         s3 = _scale_clamp(h3, d2_scale, d2_bins)

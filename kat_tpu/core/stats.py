@@ -28,6 +28,43 @@ def mask_bincount(shape, idx, mask01, **scatter_kw) -> jax.Array:
     return acc.astype(jnp.uint64)
 
 
+# Minimum elements before binned_sum routes through sort+reduce instead
+# of a scatter: even the u32 scatter costs ~11 ns/elt on TPU (random
+# HBM writes) vs ~2.5-3 ns for the Pallas sort + streaming reduce.
+BINNED_SORT_MIN = 1 << 20
+
+
+def binned_sum(total_bins: int, bins: jax.Array,
+               mask01: jax.Array) -> jax.Array:
+    """Sum a 0/1 mask into `total_bins` FLAT in-range bins, returned as
+    uint64 (exact: see mask_bincount).
+
+    On kernel-capable backends with large inputs this is a Pallas sort
+    of (bin, mask) + the streaming reduce-by-key + one tiny scatter of
+    the <= total_bins unique bins — ~4x cheaper than even the uint32
+    scatter (chip: 96ms vs ~25ms at 2^23).  `bins` MUST already be
+    clamped in range (no drop semantics here)."""
+    from .counting import _kernel_interpret, kernels_enabled
+
+    n = bins.shape[0]
+    if not (kernels_enabled() and n >= BINNED_SORT_MIN):
+        return mask_bincount((total_bins,), bins, mask01)
+    from ..ops.reduce_kernel import reduce_compact_sorted
+    from ..ops.sort_kernel import sort_planes_padded
+
+    interp = _kernel_interpret()
+    sb, sw = sort_planes_padded(
+        (bins.astype(jnp.uint32), mask01.astype(jnp.uint32)), 1,
+        interpret=interp)
+    ub, us, _nu = reduce_compact_sorted((sb,), sw, total_bins,
+                                        interpret=interp)
+    # sentinel padding rows come back as SENTINEL keys -> int32 -1 ->
+    # dropped; real bins land with their run sums
+    acc = jnp.zeros((total_bins,), jnp.uint32).at[
+        ub.astype(jnp.int32)].add(us, mode="drop")
+    return acc.astype(jnp.uint64)
+
+
 @functools.partial(jax.jit, static_argnames=("base", "ceil", "inc",
                                               "nb_buckets"))
 def hist_from_counts(counts: jax.Array, base: int, ceil: int, inc: int,
@@ -75,4 +112,4 @@ def spectrum(counts: jax.Array, weights: jax.Array, nb_bins: int) -> jax.Array:
     c = counts.astype(jnp.int64)
     b = jnp.where(c <= 0, 0,
                   jnp.where(c >= nb_bins, nb_bins - 1, c)).astype(jnp.int32)
-    return mask_bincount((nb_bins,), b, weights)
+    return binned_sum(nb_bins, b, weights)

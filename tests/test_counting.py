@@ -198,3 +198,28 @@ def test_flush_budget_recomputed_on_slab_growth():
     keys, counts = counting.table_to_numpy(table)
     got = dict(zip(keys.tolist(), counts.tolist()))
     assert got == dict(want)
+
+
+def test_binned_sum_sorted_path_parity(monkeypatch):
+    """binned_sum's sort+reduce path (interpret kernels) must equal the
+    scatter path exactly, including bins that never occur and the full
+    0..nb-1 range."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kat_tpu.core import counting, stats
+
+    monkeypatch.setenv("KAT_TPU_KERNEL", "1")
+    counting.kernels_enabled.cache_clear()
+    monkeypatch.setattr(stats, "BINNED_SORT_MIN", 1)
+    try:
+        rng = np.random.default_rng(2)
+        n = 4099  # unique shape => fresh trace under the patched gate
+        bins = jnp.asarray(rng.integers(0, 37, size=n).astype(np.int32))
+        mask = jnp.asarray(rng.random(n) < 0.6)
+        got = np.asarray(stats.binned_sum(37, bins, mask))
+        want = np.asarray(stats.mask_bincount((37,), bins, mask))
+        np.testing.assert_array_equal(got, want)
+        assert got.dtype == np.uint64
+    finally:
+        counting.kernels_enabled.cache_clear()
