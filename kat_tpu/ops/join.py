@@ -117,14 +117,22 @@ def counts_join(twords, tcounts, qwords, use_kernel: bool = False,
     c = _run_max(mw, mcnt)
 
     if use_kernel:
+        # pull the m query rows out of the merged stream with ONE
+        # streaming compaction pass (each query idx appears exactly once
+        # — table rows carry SENTINEL, merge padding 0), then un-permute
+        # with a sort over m instead of the full merged length.
+        from .reduce_kernel import compact_flagged
         from .sort_kernel import sort_planes_padded
 
-        si, sc = sort_planes_padded((midx, c), 1, interpret=interpret)
+        keep = ((midx != SENTINEL) & (midx != 0)).astype(jnp.uint32)
+        ki, kc, _nk = compact_flagged((midx, c), keep, m,
+                                      interpret=interpret)
+        _si, sc = sort_planes_padded((ki, kc), 1, interpret=interpret)
+        out = sc[:m].astype(jnp.uint32)
     else:
         si, sc = jax.lax.sort((midx, c), num_keys=1)
-
-    # ascending idx: [merge padding idx=0 | queries idx 1..m | table rows
-    # idx=SENTINEL]; the merge's pad count is static.
-    front = big_n - n_t - m
-    out = sc[front:front + m].astype(jnp.uint32)
+        # ascending idx: [merge padding idx=0 | queries idx 1..m | table
+        # rows idx=SENTINEL]; the merge's pad count is static.
+        front = big_n - n_t - m
+        out = sc[front:front + m].astype(jnp.uint32)
     return out.reshape(shape)

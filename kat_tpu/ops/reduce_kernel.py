@@ -282,6 +282,140 @@ def _reduce_kernel(*refs, n_key_words: int, rt: int, nr: int, n_tiles: int,
         state_out[0, 3 + nw] = (new_t % LANES).astype(jnp.uint32)
 
 
+def _compact_kernel(*refs, n_planes: int, rt: int, nr: int, n_tiles: int):
+    """Grid step for compact_flagged: one [rt, 128] tile.  Same staging /
+    monotone-routing / chained-DMA machinery as _reduce_kernel, but the
+    emit predicate is a caller-provided flag and elements ship as-is (no
+    runs, no scan, no carries beyond the output cursor)."""
+    in_refs = refs[:n_planes + 1]
+    out_ref, state_out = refs[n_planes + 1:n_planes + 3]
+    stage, smem, sem = refs[n_planes + 3:]
+
+    pid = pl.program_id(0)
+    sr = rt + 2
+    # SMEM layout: [0] staging offset (0..127), [1] output row cursor,
+    # [2] total emitted.
+
+    @pl.when(pid == 0)
+    def _init():
+        for j in range(3):
+            smem[0, j] = jnp.uint32(0)
+        stage[...] = jnp.zeros((n_planes, sr, LANES), jnp.uint32)
+
+    planes = [r[...] for r in in_refs[:n_planes]]
+    emit = in_refs[n_planes][...] != 0
+
+    off = smem[0, 0].astype(jnp.int32)
+    grow = smem[0, 1].astype(jnp.int32)
+    emitted = smem[0, 2]
+
+    rank = _exclusive_rank(emit)
+
+    zpad = jnp.zeros((1, LANES), jnp.uint32)
+
+    def widen_u32(x):
+        return jnp.concatenate([zpad, x, zpad], axis=0)
+
+    def widen_bool(x):  # Mosaic cannot concatenate i1 vectors
+        return widen_u32(
+            jnp.where(x, jnp.uint32(1), jnp.uint32(0))) != jnp.uint32(0)
+
+    wplanes = [widen_u32(jnp.where(emit, p, jnp.uint32(0)))
+               for p in planes]
+    wmask = widen_bool(emit)
+    wdest = widen_u32((off + rank).astype(jnp.uint32)).astype(jnp.int32)
+    routed, rmask = _route_compact(wplanes, wmask, wdest, sr)
+    for j in range(n_planes):
+        stage[j] = jnp.where(rmask, routed[j], stage[j])
+
+    n_emit = (rank[rt - 1, LANES - 1]
+              + emit.astype(jnp.int32)[rt - 1, LANES - 1]).astype(jnp.uint32)
+    new_t = off + n_emit.astype(jnp.int32)
+    full_rows = new_t // LANES
+
+    grow_c = jnp.minimum(grow, nr - (rt + 1))
+    cp = pltpu.make_async_copy(
+        stage.at[:, 0:rt + 1, :],
+        out_ref.at[:, pl.ds(grow_c, rt + 1), :],
+        sem)
+    cp.start()
+    cp.wait()
+
+    partial = stage[:, pl.ds(full_rows, 1), :]
+    stage[:, 0:1, :] = partial
+
+    smem[0, 0] = (new_t % LANES).astype(jnp.uint32)
+    smem[0, 1] = (grow + full_rows).astype(jnp.uint32)
+    smem[0, 2] = emitted + n_emit
+
+    @pl.when(pid == n_tiles - 1)
+    def _finish():
+        state_out[0, 0] = emitted + n_emit
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_size", "rows_per_tile", "interpret"))
+def compact_flagged(planes, flag, out_size: int, rows_per_tile: int = 64,
+                    interpret: bool = False):
+    """Stable stream compaction: elements whose flag != 0 move to the
+    front, order preserved — ONE bandwidth pass (the TPU-native
+    replacement for a full sort when only a subset must be extracted;
+    the join uses it to pull query rows out of the merged stream before
+    the small un-permute sort).
+
+    planes: tuple of uint32 arrays [n]; flag: uint32/bool [n];
+    out_size: static output length (the caller must guarantee the
+    flagged count fits — the join knows it exactly).
+    Returns (*compacted_planes [out_size], n_kept int32); positions
+    beyond n_kept are zero.
+    """
+    n_planes = len(planes)
+    rt = rows_per_tile
+    tile = rt * LANES
+    n = planes[0].shape[0]
+    n_pad = int(np.ceil(max(n, 1) / tile)) * tile
+    ps = [_pad_to(p.astype(jnp.uint32), n_pad, 0) for p in planes]
+    fl = _pad_to(flag.astype(jnp.uint32), n_pad, 0)
+    n_tiles = n_pad // tile
+    nr = int(np.ceil(out_size / LANES)) + rt + 2
+
+    kernel = functools.partial(
+        _compact_kernel, n_planes=n_planes, rt=rt, nr=nr, n_tiles=n_tiles)
+
+    in_specs = [pl.BlockSpec((rt, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(n_planes + 1)]
+    with jax.enable_x64(False):
+        out, state = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_planes, nr, LANES), jnp.uint32),
+                jax.ShapeDtypeStruct((1, 1), jnp.uint32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((n_planes, rt + 2, LANES), jnp.uint32),
+                pltpu.SMEM((1, 3), jnp.uint32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(*[x.reshape(-1, LANES) for x in ps], fl.reshape(-1, LANES))
+
+    n_kept = state[0, 0].astype(jnp.int32)
+    flat = out.reshape(n_planes, nr * LANES)
+    idx = jnp.arange(out_size, dtype=jnp.int32)
+    valid = idx < n_kept
+    outs = tuple(jnp.where(valid, flat[j, :out_size], 0)
+                 for j in range(n_planes))
+    return (*outs, n_kept)
+
+
 def _pad_to(x: jax.Array, n: int, fill) -> jax.Array:
     if x.shape[0] == n:
         return x

@@ -367,3 +367,46 @@ def test_lsm_wide_interpret(monkeypatch):
         monkeypatch.delenv("KAT_TPU_KERNEL")
         counting.kernels_enabled.cache_clear()
     assert got == want
+
+
+@pytest.mark.parametrize("n,keep_p", [(128 * 64, 0.5), (128 * 200, 0.05),
+                                      (128 * 64 * 3 + 640, 0.95),
+                                      (1 << 10, 1.0), (1 << 10, 0.0)])
+def test_compact_flagged_matches_numpy(n, keep_p):
+    """Stable flag compaction == numpy boolean-mask extraction, order
+    preserved, across tile boundaries, partial tiles, all/none kept."""
+    import numpy as np
+
+    from kat_tpu.ops.reduce_kernel import compact_flagged
+
+    rng = np.random.default_rng(n + int(keep_p * 10))
+    a = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    b = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    flag = (rng.random(n) < keep_p).astype(np.uint32)
+    kept = int(flag.sum())
+    out_size = max(kept + 130, 256)
+
+    ca, cb, n_kept = compact_flagged(
+        (jnp.asarray(a), jnp.asarray(b)), jnp.asarray(flag), out_size,
+        rows_per_tile=8, interpret=True)
+    assert int(n_kept) == kept
+    np.testing.assert_array_equal(np.asarray(ca)[:kept], a[flag == 1])
+    np.testing.assert_array_equal(np.asarray(cb)[:kept], b[flag == 1])
+    assert (np.asarray(ca)[kept:] == 0).all()
+
+
+def test_compact_flagged_exact_out_size():
+    """out_size exactly equal to the kept count (the join's case)."""
+    import numpy as np
+
+    from kat_tpu.ops.reduce_kernel import compact_flagged
+
+    rng = np.random.default_rng(7)
+    n = 128 * 24
+    a = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    flag = (rng.random(n) < 0.3).astype(np.uint32)
+    kept = int(flag.sum())
+    ca, n_kept = compact_flagged((jnp.asarray(a),), jnp.asarray(flag),
+                                 kept, rows_per_tile=8, interpret=True)
+    assert int(n_kept) == kept
+    np.testing.assert_array_equal(np.asarray(ca), a[flag == 1])
