@@ -140,6 +140,8 @@ def main() -> None:
     if "sharded" not in skip:
         record("sharded_one_chip", run_step(
             "sharded", [py, "benchmarks/sharded_one_chip.py"], 2400))
+        record("sharded_routed_lookup", run_step(
+            "sharded", [py, "benchmarks/sharded_lookup_bench.py"], 3600))
 
     if "ingest" not in skip:
         record("ingest_large", run_step(
