@@ -88,3 +88,43 @@ def test_count_non_canonical_boundary(tmp_path, k):
     got = _table_dict(inp.table, k)
     want = dict(oracle.count_seqs(seqs, k, canonical=False))
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_join_fuzz_random_tables_and_queries(seed):
+    """Random (table, query) pairs through BOTH join formulations and
+    the binary search must agree exactly — sizes chosen to land on and
+    off the sort/merge padding boundaries."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from kat_tpu.core import counting
+    from kat_tpu.ops.join import counts_join
+
+    rng = np.random.default_rng(seed)
+    n_keys = int(rng.integers(3, 700))
+    cap = int(rng.integers(n_keys, 2 * n_keys + 64))
+    m = int(rng.integers(1, 1500))
+    keys = np.unique(rng.integers(1, 1 << 40, size=n_keys * 2,
+                                  dtype=np.uint64))[:n_keys]
+    cnts = rng.integers(1, 10_000, size=len(keys)).astype(np.uint32)
+    table = counting.table_from_numpy(keys, cnts, capacity=cap)
+
+    q = rng.choice(
+        np.concatenate([keys,
+                        rng.integers(1, 1 << 40, size=m,
+                                     dtype=np.uint64)]), size=m)
+    sent = rng.random(m) < 0.05
+    q[sent] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    qhi = jnp.asarray((q >> np.uint64(32)).astype(np.uint32))
+    qlo = jnp.asarray((q & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+
+    ref = np.asarray(counting.lookup(table, qhi, qlo))
+    tw = (table.keys_hi, table.keys_lo)
+    for use_kernel in (False, True):
+        got = np.asarray(counts_join(tw, table.counts, (qhi, qlo),
+                                     use_kernel=use_kernel,
+                                     interpret=use_kernel))
+        np.testing.assert_array_equal(got, ref, err_msg=(
+            f"seed={seed} kernel={use_kernel} n={n_keys} cap={cap} m={m}"))
