@@ -70,6 +70,124 @@ struct CodeLut {
 };
 const CodeLut kLut;
 
+// Raw-deflate gzip reader for the threaded producer: parses the gzip
+// member header by hand and inflates with windowBits=-15, which SKIPS
+// zlib's incremental crc32 of the decompressed stream (~20-30% of
+// single-stream inflate time).  The 8-byte member trailer (crc32 +
+// isize) is deliberately NOT validated — the k-mer pipelines verify
+// content semantically (oracle/golden parity) and the serial checksum
+// would put the saving right back.  Multi-member (concatenated /
+// bgzf-style) files are handled by re-parsing a header after each
+// Z_STREAM_END.  Falls back to gzread on any header anomaly.
+struct RawGz {
+  FILE* fp = nullptr;
+  z_stream zs{};
+  bool live = false;      // zs initialised and mid-member
+  bool failed = false;    // fall back to gzread
+  static constexpr size_t CBUF = 1 << 20;
+  unsigned char in[CBUF];
+
+  bool refill() {
+    if (zs.avail_in > 0) return true;
+    size_t n = fread(in, 1, CBUF, fp);
+    zs.next_in = in;
+    zs.avail_in = static_cast<uInt>(n);
+    return n > 0;
+  }
+
+  int byte() {  // next compressed byte, -1 at EOF
+    if (!refill()) return -1;
+    --zs.avail_in;
+    return *zs.next_in++;
+  }
+
+  // Parse one gzip member header starting at the current position.
+  // Returns 1 ok, 0 clean EOF (no more members), -1 malformed.
+  int parse_header() {
+    int b0 = byte();
+    if (b0 < 0) return 0;
+    int b1 = byte();
+    if (b0 != 0x1f || b1 != 0x8b) return -1;
+    if (byte() != 8) return -1;  // CM: deflate
+    int flg = byte();
+    if (flg < 0 || (flg & 0xe0)) return -1;  // reserved bits
+    for (int i = 0; i < 6; ++i)              // MTIME + XFL + OS
+      if (byte() < 0) return -1;
+    if (flg & 4) {  // FEXTRA
+      int x0 = byte(), x1 = byte();
+      if (x0 < 0 || x1 < 0) return -1;
+      for (int i = 0; i < x0 + (x1 << 8); ++i)
+        if (byte() < 0) return -1;
+    }
+    if (flg & 8)   // FNAME: NUL-terminated
+      for (int c = byte(); c != 0; c = byte())
+        if (c < 0) return -1;
+    if (flg & 16)  // FCOMMENT
+      for (int c = byte(); c != 0; c = byte())
+        if (c < 0) return -1;
+    if (flg & 2)   // FHCRC
+      if (byte() < 0 || byte() < 0) return -1;
+    return 1;
+  }
+
+  bool open(const char* path) {
+    fp = fopen(path, "rb");
+    if (!fp) return false;
+    zs.next_in = in;
+    zs.avail_in = 0;
+    int h = parse_header();
+    if (h != 1 || inflateInit2(&zs, -15) != Z_OK) {
+      fclose(fp);
+      fp = nullptr;
+      return false;
+    }
+    live = true;
+    return true;
+  }
+
+  // Inflate up to `cap` bytes into `out`; 0 = EOF, -1 = error.
+  long read(unsigned char* out, size_t cap) {
+    if (failed || !live) return failed ? -1 : 0;
+    zs.next_out = out;
+    zs.avail_out = static_cast<uInt>(cap);
+    while (zs.avail_out > 0) {
+      if (!refill() && zs.avail_in == 0) {
+        failed = true;  // truncated member
+        return -1;
+      }
+      int rc = inflate(&zs, Z_NO_FLUSH);
+      if (rc == Z_STREAM_END) {
+        for (int i = 0; i < 8; ++i)  // trailer: crc32+isize, unvalidated
+          if (byte() < 0) {
+            failed = true;
+            return -1;
+          }
+        int h = parse_header();
+        if (h == 0) {  // clean end of file
+          live = false;
+          break;
+        }
+        if (h < 0 || inflateReset2(&zs, -15) != Z_OK) {
+          failed = true;
+          return -1;
+        }
+      } else if (rc != Z_OK && rc != Z_BUF_ERROR) {
+        failed = true;
+        return -1;
+      } else if (rc == Z_BUF_ERROR && zs.avail_in == 0 && !refill()) {
+        failed = true;
+        return -1;
+      }
+    }
+    return static_cast<long>(cap - zs.avail_out);
+  }
+
+  ~RawGz() {
+    if (live || fp) inflateEnd(&zs);
+    if (fp) fclose(fp);
+  }
+};
+
 struct Reader {
   gzFile f = nullptr;
   // buffered input
@@ -94,6 +212,9 @@ struct Reader {
   bool tdone = false;
   int tcons = 0;   // slot the consumer reads next
   int thold = -1;  // slot the consumer currently points into
+  RawGz raw;       // crc-skipping fast path (threaded gz only)
+  bool use_raw = false;
+  bool terr = false;  // producer hit a decode error: surface, don't truncate
 
   int fmt = 0;  // 0 unknown, 1 fasta, 2 fastq
   // parser state machine
@@ -136,16 +257,18 @@ struct Reader {
     prod = std::thread([this] {
       int slot = 0;
       for (;;) {
-        int n;
+        long n;
         {
           std::unique_lock<std::mutex> lk(mu);
           cv.wait(lk, [&] { return !tfull[slot] || tdone; });
           if (tdone) return;
         }
-        n = gzread(f, tbuf[slot], TBUF);
+        n = use_raw ? raw.read(tbuf[slot], TBUF)
+                    : static_cast<long>(gzread(f, tbuf[slot], TBUF));
         {
           std::unique_lock<std::mutex> lk(mu);
           if (n <= 0) {
+            if (n < 0) terr = true;  // decode error != EOF
             tdone = true;
           } else {
             tlen[slot] = static_cast<size_t>(n);
@@ -287,20 +410,30 @@ int64_t find_record_start(const char* path, int fmt, int64_t start) {
 
 Reader* open_common(const char* path, int trim5, int fmt, int64_t seek_to,
                     int64_t end_off, bool threaded) {
-  gzFile f = gzopen(path, "rb");
-  if (!f) return nullptr;
-  gzbuffer(f, 1 << 20);
-  if (seek_to > 0 && gzseek(f, static_cast<z_off_t>(seek_to),
-                            SEEK_SET) < 0) {
-    gzclose(f);
-    return nullptr;
-  }
   Reader* r = new Reader();
-  r->f = f;
   r->trim_left = trim5;
   r->fmt = fmt;
   r->buf_base = seek_to;
   r->end_off = end_off;
+  if (threaded && seek_to == 0 && r->raw.open(path)) {
+    r->use_raw = true;  // crc-skipping raw-deflate fast path
+    r->start_producer();
+    return r;
+  }
+  gzFile f = gzopen(path, "rb");
+  if (!f) {
+    delete r;
+    return nullptr;
+  }
+  gzbuffer(f, 1 << 20);
+  if (seek_to > 0 && gzseek(f, static_cast<z_off_t>(seek_to),
+                            SEEK_SET) < 0) {
+    gzclose(f);
+    r->f = nullptr;
+    delete r;
+    return nullptr;
+  }
+  r->f = f;
   if (threaded) r->start_producer();
   return r;
 }
@@ -469,6 +602,7 @@ int64_t kat_fastx_next_codes(void* h, int k, int64_t rows, int64_t row_len,
       if (r->done) break;
     }
 
+    if (r->terr) return -1;  // producer decode error: fail, not truncate
     if (col == 0) break;  // EOF and nothing emitted
 
     if (col >= row_len) {

@@ -222,3 +222,41 @@ def test_abandoned_consumer_stops_workers(tmp_path, seqs):
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_gz_threaded_raw_inflate_real_gzip_and_multimember(tmp_path,
+                                                           seqs):
+    """The crc-skipping raw-deflate fast path must parse (a) gzip(1)
+    output (FNAME flag set) and (b) concatenated multi-member files,
+    with multiset parity vs the serial gzread path."""
+    import subprocess
+
+    a = tmp_path / "a.fastq"
+    b = tmp_path / "b.fastq"
+    _write_fastq(a, seqs[:25])
+    _write_fastq(b, seqs[25:])
+    subprocess.run(["gzip", "-k", str(a)], check=True)
+    subprocess.run(["gzip", "-k", str(b)], check=True)
+    multi = tmp_path / "multi.fastq.gz"
+    with open(multi, "wb") as out:
+        out.write((tmp_path / "a.fastq.gz").read_bytes())
+        out.write((tmp_path / "b.fastq.gz").read_bytes())
+
+    got = _kmers_from_batches([str(multi)], 9, threads=2)  # raw path
+    assert got == _expected(seqs, 9)
+    got1 = _kmers_from_batches([str(multi)], 9, threads=1)  # gzread path
+    assert got1 == _expected(seqs, 9)
+
+
+def test_gz_threaded_truncation_raises(tmp_path, seqs):
+    """A structurally broken stream (truncated member) must surface as
+    an error from the threaded raw path, never as silent truncation.
+    (Bit flips that still decode as valid Huffman symbols are the
+    documented blind spot of skipping the crc32 — fastxio.cpp RawGz.)"""
+    gz = tmp_path / "c.fastq.gz"
+    _write_fastq(gz, seqs * 30, gz=True)
+    data = gz.read_bytes()
+    gz.write_bytes(data[:len(data) // 2])  # cut the member in half
+    with pytest.raises(RuntimeError):
+        for _ in native.stream_code_batches([str(gz)], 9, threads=2):
+            pass
