@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from kat_tpu.core import counting, tables  # noqa: E402
+from kat_tpu.core import tables  # noqa: E402
 from kat_tpu.parallel.analysis import ShardedLookup  # noqa: E402
 from kat_tpu.parallel.sharded import ShardedCounter, make_mesh  # noqa: E402
 

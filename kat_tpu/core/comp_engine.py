@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from . import tables
-from .stats import binned_sum, mask_bincount, spectrum
+from .stats import (binned_sum, binned_sums, mask_bincount, spectrum,
+                    spectrum_bins)
 
 
 def _scale_clamp(counts: jax.Array, scale: float, bins: int) -> jax.Array:
@@ -71,8 +72,10 @@ def pass1(t1, t2, t3, k: int, d1_bins: int, d2_bins: int, dm_size: int,
         "shared_hash2_total": jnp.sum(jnp.where(shared, h2, 0)),
         "shared_distinct": jnp.sum(ws),
     }
-    spectrum1 = spectrum(h1, w, dm_size)
-    shared_spectrum1 = spectrum(h1, ws, dm_size)
+    # spectrum1 and shared_spectrum1 bin the SAME h1 counts — one sort
+    # carries both weight planes (stats.binned_sums)
+    spectrum1, shared_spectrum1 = binned_sums(
+        dm_size, spectrum_bins(h1, dm_size), (w, ws))
     shared_spectrum2 = spectrum(h2, ws, dm_size)
 
     s1 = _scale_clamp(h1, d1_scale, d1_bins)

@@ -34,35 +34,44 @@ def mask_bincount(shape, idx, mask01, **scatter_kw) -> jax.Array:
 BINNED_SORT_MIN = 1 << 20
 
 
-def binned_sum(total_bins: int, bins: jax.Array,
-               mask01: jax.Array) -> jax.Array:
-    """Sum a 0/1 mask into `total_bins` FLAT in-range bins, returned as
-    uint64 (exact: see mask_bincount).
+def binned_sums(total_bins: int, bins: jax.Array, masks) -> tuple:
+    """Sum one or more 0/1 masks into `total_bins` FLAT in-range bins,
+    returned as uint64 arrays (exact: see mask_bincount).
 
-    On kernel-capable backends with large inputs this is a Pallas sort
-    of (bin, mask) + the streaming reduce-by-key + one tiny scatter of
-    the <= total_bins unique bins — ~4x cheaper than even the uint32
-    scatter (chip: 96ms vs ~25ms at 2^23).  `bins` MUST already be
-    clamped in range (no drop semantics here)."""
+    On kernel-capable backends with large inputs this is ONE Pallas sort
+    of (bin, *masks) — the masks ride as payload, so several spectra
+    over the same bins (comp pass1's spectrum1/shared_spectrum1) share
+    the expensive sort — followed by one streaming reduce-by-key + tiny
+    scatter per mask; ~4x cheaper than even the uint32 scatter (chip:
+    96ms vs ~25ms at 2^23).  `bins` MUST already be clamped in range
+    (no drop semantics here)."""
     from .counting import _kernel_interpret, kernels_enabled
 
     n = bins.shape[0]
     if not (kernels_enabled() and n >= BINNED_SORT_MIN):
-        return mask_bincount((total_bins,), bins, mask01)
+        return tuple(mask_bincount((total_bins,), bins, m) for m in masks)
     from ..ops.reduce_kernel import reduce_compact_sorted
     from ..ops.sort_kernel import sort_planes_padded
 
     interp = _kernel_interpret()
-    sb, sw = sort_planes_padded(
-        (bins.astype(jnp.uint32), mask01.astype(jnp.uint32)), 1,
-        interpret=interp)
-    ub, us, _nu = reduce_compact_sorted((sb,), sw, total_bins,
-                                        interpret=interp)
-    # sentinel padding rows come back as SENTINEL keys -> int32 -1 ->
-    # dropped; real bins land with their run sums
-    acc = jnp.zeros((total_bins,), jnp.uint32).at[
-        ub.astype(jnp.int32)].add(us, mode="drop")
-    return acc.astype(jnp.uint64)
+    planes = sort_planes_padded(
+        (bins.astype(jnp.uint32),
+         *[m.astype(jnp.uint32) for m in masks]), 1, interpret=interp)
+    outs = []
+    for sw in planes[1:]:
+        ub, us, _nu = reduce_compact_sorted((planes[0],), sw, total_bins,
+                                            interpret=interp)
+        # sentinel padding rows come back as SENTINEL keys -> int32 -1
+        # -> dropped; real bins land with their run sums
+        acc = jnp.zeros((total_bins,), jnp.uint32).at[
+            ub.astype(jnp.int32)].add(us, mode="drop")
+        outs.append(acc.astype(jnp.uint64))
+    return tuple(outs)
+
+
+def binned_sum(total_bins: int, bins: jax.Array,
+               mask01: jax.Array) -> jax.Array:
+    return binned_sums(total_bins, bins, (mask01,))[0]
 
 
 @functools.partial(jax.jit, static_argnames=("base", "ceil", "inc",
@@ -109,7 +118,14 @@ def spectrum(counts: jax.Array, weights: jax.Array, nb_bins: int) -> jax.Array:
     bin 0, count>=nb_bins -> last bin, else bin=count.  `weights` is a 0/1
     participation mask (every caller passes real/shared masks; that bound
     is what makes the uint32-accumulating scatter exact)."""
+    return binned_sums(nb_bins, spectrum_bins(counts, nb_bins),
+                       (weights,))[0]
+
+
+def spectrum_bins(counts: jax.Array, nb_bins: int) -> jax.Array:
+    """The spectrum's bin index per entry (factored so several spectra
+    over the same counts can share one binned_sums sort)."""
     c = counts.astype(jnp.int64)
-    b = jnp.where(c <= 0, 0,
-                  jnp.where(c >= nb_bins, nb_bins - 1, c)).astype(jnp.int32)
-    return binned_sum(nb_bins, b, weights)
+    return jnp.where(c <= 0, 0,
+                     jnp.where(c >= nb_bins, nb_bins - 1,
+                               c)).astype(jnp.int32)

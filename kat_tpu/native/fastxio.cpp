@@ -42,6 +42,7 @@
 #include <unistd.h>
 #include <zlib.h>
 
+#include <atomic>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -163,11 +164,11 @@ struct RawGz {
             return -1;
           }
         int h = parse_header();
-        if (h == 0) {  // clean end of file
-          live = false;
+        if (h <= 0) {  // EOF, or trailing garbage after the last member
+          live = false;  // (zlib's gzread ignores trailing garbage too)
           break;
         }
-        if (h < 0 || inflateReset2(&zs, -15) != Z_OK) {
+        if (inflateReset2(&zs, -15) != Z_OK) {
           failed = true;
           return -1;
         }
@@ -214,7 +215,7 @@ struct Reader {
   int thold = -1;  // slot the consumer currently points into
   RawGz raw;       // crc-skipping fast path (threaded gz only)
   bool use_raw = false;
-  bool terr = false;  // producer hit a decode error: surface, don't truncate
+  std::atomic<bool> terr{false};  // decode error: surface, don't truncate
 
   int fmt = 0;  // 0 unknown, 1 fasta, 2 fastq
   // parser state machine
@@ -307,6 +308,15 @@ struct Reader {
     }
     int n = gzread(f, const_cast<uint8_t*>(buf), BUF);
     if (n <= 0) {
+      if (n < 0) {
+        terr = true;  // corrupt stream: error, not clean EOF
+      } else {
+        // zlib reports a truncated member via gzerror, not a negative
+        // return — check before treating a 0-read as clean EOF
+        int errnum = Z_OK;
+        gzerror(f, &errnum);
+        if (errnum != Z_OK && errnum != Z_STREAM_END) terr = true;
+      }
       eof = true;
       return false;
     }

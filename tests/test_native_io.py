@@ -257,6 +257,20 @@ def test_gz_threaded_truncation_raises(tmp_path, seqs):
     _write_fastq(gz, seqs * 30, gz=True)
     data = gz.read_bytes()
     gz.write_bytes(data[:len(data) // 2])  # cut the member in half
-    with pytest.raises(RuntimeError):
-        for _ in native.stream_code_batches([str(gz)], 9, threads=2):
-            pass
+    for threads in (2, 1):  # raw producer path AND serial gzread path
+        with pytest.raises(RuntimeError):
+            for _ in native.stream_code_batches([str(gz)], 9,
+                                                threads=threads):
+                pass
+
+
+def test_gz_trailing_garbage_tolerated(tmp_path, seqs):
+    """Bytes after the final gzip member are ignored (gzread parity) on
+    both the raw and serial paths."""
+    gz = tmp_path / "t.fastq.gz"
+    _write_fastq(gz, seqs, gz=True)
+    with open(gz, "ab") as f:
+        f.write(b"\x00" * 37)
+    for threads in (2, 1):
+        got = _kmers_from_batches([str(gz)], 9, threads=threads)
+        assert got == _expected(seqs, 9)
