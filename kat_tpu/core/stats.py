@@ -87,7 +87,7 @@ def hist_from_counts(counts: jax.Array, base: int, ceil: int, inc: int,
     bucket = jnp.where(c < base, 0,
                        jnp.where(c > ceil, nb_buckets - 1,
                                  (c - base) // inc)).astype(jnp.int32)
-    return mask_bincount((nb_buckets,), bucket, c > 0)
+    return binned_sums(nb_buckets, bucket, (c > 0,))[0]
 
 
 @functools.partial(jax.jit, static_argnames=("mer_len", "cvg_bins"))
@@ -108,8 +108,13 @@ def gcp_matrix(table: CountTable, mer_len: int, cvg_bins: int,
     cvg_pos = jnp.where(table.counts == 0, 0,
                         jnp.ceil(c * cvg_scale)).astype(jnp.int64)
     cvg_pos = jnp.minimum(cvg_pos, cvg_bins).astype(jnp.int32)
-    return mask_bincount((mer_len + 1, cvg_bins + 1), (gc, cvg_pos),
-                         table.counts > 0, mode="drop")
+    # gc (<= mer_len by construction, incl. sentinel rows whose weight
+    # is 0) and cvg_pos (clamped) are always in range, so the 2D count
+    # collapses to one flat binned sum (sort+reduce on kernel backends)
+    flat = gc * (cvg_bins + 1) + cvg_pos
+    return binned_sums((mer_len + 1) * (cvg_bins + 1), flat,
+                       (table.counts > 0,))[0].reshape(
+        mer_len + 1, cvg_bins + 1)
 
 
 @functools.partial(jax.jit, static_argnames=("nb_bins",))
