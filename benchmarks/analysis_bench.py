@@ -151,6 +151,36 @@ def main() -> None:
     res["sect_bases_per_s"] = round(ROWS * LEN / best, 1)
     res["sect_windows_per_s"] = round(WINDOWS / best, 1)
 
+    # -- 2b. gcp matrix + hist buckets over the full table ---------------
+    _mark("gcp/hist")
+    from kat_tpu.core import stats as _stats
+
+    def gcp_call():
+        return _stats.gcp_matrix(tab1, K, 1000, 1.0)
+
+    g = gcp_call()
+    _ = np.asarray(g[0, :8])
+    best = float("inf")
+    for _i in range(3):
+        t0 = time.perf_counter()
+        g = gcp_call()
+        _ = np.asarray(g[0, :8])
+        best = min(best, time.perf_counter() - t0)
+    res["gcp_matrix_entries_per_s"] = round(tab1.counts.shape[0] / best, 1)
+
+    def hist_call():
+        return _stats.hist_from_counts(tab1.counts, 1, 10000, 1, 10001)
+
+    h = hist_call()
+    _ = np.asarray(h[:8])
+    best = float("inf")
+    for _i in range(3):
+        t0 = time.perf_counter()
+        h = hist_call()
+        _ = np.asarray(h[:8])
+        best = min(best, time.perf_counter() - t0)
+    res["hist_entries_per_s"] = round(tab1.counts.shape[0] / best, 1)
+
     # -- 3. comp pass1+pass2 (entries/s) ---------------------------------
     _mark("comp passes")
     rng2 = np.random.default_rng(77)
