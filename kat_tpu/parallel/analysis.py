@@ -30,6 +30,20 @@ from .collectives import psum_exact
 from .sharded import ShardedCounter, owner_shard
 
 
+def _local_row_data(arr) -> np.ndarray:
+    """This process's rows of a row-sharded global array, in row order.
+
+    Multi-process counterpart of np.asarray(arr): a [n, w] array with
+    spec P(axis, None) has one addressable shard per LOCAL device; stitch
+    them back together in global row order."""
+    pieces = {}
+    for s in arr.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in pieces:
+            pieces[start] = np.asarray(s.data)
+    return np.concatenate([pieces[i] for i in sorted(pieces)], axis=0)
+
+
 def _table_args(c: ShardedCounter):
     """Flatten a counter's sharded arrays into shard_map arguments."""
     return (*c.twords, c.tc, c.n_unique)
@@ -235,30 +249,47 @@ class ShardedLookup:
             self._fns[key] = jax.jit(fn)
         return self._fns[key]
 
-    def _plan_qcap(self, qs: list, per_dev: int) -> int:
+    def _plan_qcap(self, qs: list, per_dev: int,
+                   n_rows: int | None = None) -> int:
         """EXACT routing capacity from a host-side pass over the queries:
         the largest (source device, owner shard) bucket, rounded up to a
         power of two so compiled shapes stay logarithmic.  This replaces
         the old guess-and-double loop, whose every doubling recompiled
         the routed-lookup program (10-130s on the remote TPU toolchain) —
         pathological query skew now costs at most ONE compile per
-        (per_dev, pow2-qcap) pair and never a retry."""
+        (per_dev, pow2-qcap) pair and never a retry.
+
+        `n_rows` is how many device rows `qs` covers — the full mesh in a
+        single-controller run, this process's local devices in a
+        multi-process run (bucket identity only needs LOCAL row distinctness;
+        the global max is agreed by allgather in the caller)."""
         from ..parallel.sharded import owner_shard_np
 
         c = self.c
+        n_rows = c.n if n_rows is None else n_rows
         real = np.zeros(qs[0].shape, np.bool_)
         for q in qs:
             real |= q != SENTINEL
         dest = owner_shard_np(tuple(qs), c.k, c.n).astype(np.int64)
-        src = np.repeat(np.arange(c.n, dtype=np.int64), per_dev)
-        flat = np.where(real, src * c.n + dest, c.n * c.n)
-        counts = np.bincount(flat, minlength=c.n * c.n + 1)[:c.n * c.n]
+        src = np.repeat(np.arange(n_rows, dtype=np.int64), per_dev)
+        flat = np.where(real, src * c.n + dest, n_rows * c.n)
+        counts = np.bincount(flat, minlength=n_rows * c.n + 1)[:n_rows * c.n]
         need = int(counts.max()) if counts.size else 1
         qcap = 1 << max(0, int(np.ceil(np.log2(max(need, 1)))))
         return max(1, min(qcap, per_dev))
 
     def lookup(self, qwords) -> np.ndarray:
-        """Counts for query word arrays (any matching shape)."""
+        """Counts for query word arrays (any matching shape).
+
+        In a multi-process (multi-host) run this is a COLLECTIVE: every
+        process must call it in lockstep, each passing its OWN local
+        queries (local shapes may differ per process), and each receives
+        the counts for exactly its own queries.  The padded per-device
+        query width and the routing capacity are agreed globally (two
+        tiny allgathers per call), so the compiled program is identical
+        on every process."""
+        if jax.process_count() > 1:
+            return self._lookup_multiprocess(qwords)
         c = self.c
         shape = qwords[0].shape
         qs = [np.asarray(q, np.uint32).reshape(-1) for q in qwords]
@@ -280,6 +311,42 @@ class ShardedLookup:
             qcap = min(per_dev, qcap * 2)
         res = np.asarray(out, np.uint32).reshape(-1)[:m]
         return res.reshape(shape)
+
+    def _lookup_multiprocess(self, qwords) -> np.ndarray:
+        """Multi-controller lookup: the global query array is assembled
+        from per-process local batches (process-major rows, exactly like
+        ShardedCounter._put), the routed program runs on the global mesh,
+        and each process reads back only its addressable rows.  The
+        retry doubling stays coordinated because `dropped` is replicated:
+        every process observes the same value and recompiles the same
+        (per_dev, qcap) program."""
+        from jax.experimental import multihost_utils
+
+        c = self.c
+        shape = qwords[0].shape
+        qs = [np.asarray(q, np.uint32).reshape(-1) for q in qwords]
+        m = qs[0].shape[0]
+        n_local = jax.local_device_count()
+        m_max = int(multihost_utils.process_allgather(
+            np.asarray([m], np.int64), tiled=True).max())
+        per_dev = -(-max(m_max, 1) // n_local)
+        total = per_dev * n_local
+        qs = [np.concatenate([q, np.full((total - m,), SENTINEL,
+                                         np.uint32)]) for q in qs]
+        qcap = self._plan_qcap(qs, per_dev, n_rows=n_local)
+        qcap = int(multihost_utils.process_allgather(
+            np.asarray([qcap], np.int64), tiled=True).max())
+        while True:
+            fn = self._fn(per_dev, qcap)
+            qdev = [jax.make_array_from_process_local_data(
+                c._tsharding, q.reshape(n_local, per_dev),
+                (c.n, per_dev)) for q in qs]
+            out, dropped = fn(*qdev, *_table_args(c))
+            if int(dropped) == 0:
+                break
+            qcap = min(per_dev, qcap * 2)
+        res = _local_row_data(out).reshape(-1)[:m]
+        return np.asarray(res, np.uint32).reshape(shape)
 
 
 def window_counts_routed(svc: ShardedLookup, codes, k: int,

@@ -139,6 +139,119 @@ def _run_uneven(nproc: int, port: int) -> list:
     raise AssertionError(f"no RESULT line in {outs}")
 
 
+WORKER_ANALYSIS = textwrap.dedent("""
+    import json, os, sys
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from jax._src import xla_bridge as xb
+    xb._backend_factories.pop("axon", None)
+    if nproc > 1:
+        jax.distributed.initialize(
+            coordinator_address="127.0.0.1:" + port,
+            num_processes=nproc, process_id=pid)
+    sys.path.insert(0, {root!r})
+    import numpy as np
+    import jax.numpy as jnp
+    from kat_tpu.core import tables
+    from kat_tpu.parallel.analysis import (ShardedLookup, comp_sharded,
+                                           gcp_sharded)
+    from kat_tpu.parallel.distributed import global_mesh
+    from kat_tpu.parallel.sharded import ShardedCounter
+
+    K = 15
+    rng = np.random.default_rng(7)
+    genome = rng.integers(0, 4, 1 << 13, dtype=np.uint8)
+    view = np.lib.stride_tricks.sliding_window_view(genome, 96)
+
+    mesh = global_mesh()
+
+    def count(seed_base):
+        sc = ShardedCounter(mesh, K, shard_capacity=1 << 13,
+                            route_slack=8.0)
+        for i in range(3):
+            r = np.random.default_rng(seed_base + i)
+            offs = r.integers(0, view.shape[0], 48)  # fixed global set
+            mine = offs[pid::nproc]  # this process's slice of it
+            sc.add_codes(np.ascontiguousarray(view[mine]))
+        sc.check()
+        return sc
+
+    c1 = count(500)
+    c2 = count(900)
+
+    # P6 routed lookups, multi-controller: ONE fixed global query set,
+    # process p answering slice [p::nproc] (UNEVEN: m % nproc != 0)
+    qr = np.random.default_rng(1234)
+    qoffs = qr.integers(0, view.shape[0], 11)
+    words, valid = tables.extract(
+        jnp.asarray(np.ascontiguousarray(view[qoffs])), K,
+        canonical=False)
+    qw = tables.canonicalize(words, K)
+    qglob = [np.asarray(w).reshape(-1) for w in qw]
+    mine = [g[pid::nproc] for g in qglob]
+    res = ShardedLookup(c1).lookup(mine)
+    print("LOOKUP %d " % pid + json.dumps(
+        np.asarray(res, np.int64).tolist()), flush=True)
+
+    # comp + gcp over the mesh-sharded tables (replicated outputs)
+    outs = comp_sharded(c1, c2, None, k=K, d1_bins=101, d2_bins=101,
+                        dm_size=31, d1_scale=1.0, d2_scale=1.0,
+                        canon2=True, canon3=True)
+    digest = [[int(np.asarray(leaf).sum()),
+               np.asarray(leaf).reshape(-1)[:4].astype(np.int64).tolist()]
+              for leaf in jax.tree_util.tree_leaves(outs)]
+    grid = gcp_sharded(c1, K, 101, 1.0)
+    if pid == 0:
+        print("ANALYSIS " + json.dumps(
+            {{"comp": digest, "gcp_sum": int(grid.sum()),
+              "gcp_nz": int((grid > 0).sum())}}), flush=True)
+""").format(root=ROOT)
+
+
+def _run_analysis(nproc: int, port: int) -> dict:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("PYTEST_CURRENT_TEST", None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-u", "-c", WORKER_ANALYSIS, str(pid), str(nproc),
+         str(port)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in range(nproc)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o}\n{e[-3000:]}"
+    got: dict = {"lookup": {}}
+    for o, _ in outs:
+        for line in o.splitlines():
+            if line.startswith("LOOKUP "):
+                pid_s, payload = line[len("LOOKUP "):].split(" ", 1)
+                got["lookup"][int(pid_s)] = json.loads(payload)
+            elif line.startswith("ANALYSIS "):
+                got["analysis"] = json.loads(line[len("ANALYSIS "):])
+    return got
+
+
+def test_two_process_analysis_matches_single():
+    """The ANALYSIS phase multi-controller (VERDICT r3 'beyond-parity'
+    item): shard-routed lookups with per-process local queries, plus
+    comp_sharded/gcp_sharded on a 2-process global mesh, all exactly equal
+    to the single-process results."""
+    base = 28000 + (os.getpid() * 5) % 12000
+    want = _run_analysis(1, base)
+    got = _run_analysis(2, base + 1)
+    # reassemble the interleaved per-process query slices
+    single = want["lookup"][0]
+    merged = [None] * len(single)
+    for pid, vals in got["lookup"].items():
+        merged[pid::2] = vals
+    assert merged == single
+    assert sum(single) > 0  # real hits
+    assert got["analysis"] == want["analysis"]
+    assert want["analysis"]["gcp_sum"] > 0
+
+
 def test_four_process_uneven_wide_matches_single():
     """4 localhost processes x 2 devices, UNEVEN per-process batch counts
     (balanced with empty padding batches), wide (k=33) keys: exact parity
