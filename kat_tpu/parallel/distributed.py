@@ -99,6 +99,41 @@ def balanced_batches(local_batches: Sequence, rows: int, length: int):
         yield empty
 
 
+def lockstep_code_batches(it):
+    """Yield [rows, L] uint8 code batches padded to a globally agreed
+    shape each step, until EVERY process's stream is exhausted.
+
+    The sharded counter's flush schedule is a collective program driven
+    by batch shapes and counts (add_codes flushes on shape change and
+    every flush_batches); per-host file shards produce neither the same
+    shapes nor the same counts.  One tiny allgather per batch agrees on
+    (any_left, max_rows, max_len): every process then feeds an identical
+    [max_rows, max_len] geometry — its own data top-left, 255 (invalid)
+    padding elsewhere — so flushes stay in lockstep everywhere.  Padding
+    adds only invalid windows, which the extractor masks, leaving counts
+    exact.  Single-process: passthrough."""
+    if process_count() <= 1:
+        yield from it
+        return
+    from jax.experimental import multihost_utils
+
+    it = iter(it)
+    while True:
+        batch = next(it, None)
+        rows, length = batch.shape if batch is not None else (0, 0)
+        agg = multihost_utils.process_allgather(
+            np.asarray([int(batch is not None), rows, length], np.int64))
+        agg = agg.reshape(-1, 3)
+        if not agg[:, 0].any():
+            return
+        rmax = int(agg[:, 1].max())
+        lmax = int(agg[:, 2].max())
+        out = np.full((rmax, lmax), 255, np.uint8)
+        if batch is not None:
+            out[:rows, :length] = batch
+        yield out
+
+
 def global_mesh(axis_names: Sequence[str] = ("shards",),
                 shape: Sequence[int] | None = None):
     """Mesh over every device of every process (ICI within a slice, DCN

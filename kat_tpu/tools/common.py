@@ -65,6 +65,15 @@ def glob_files(spec: str | list[str]) -> list[str]:
     elements = [spec] if isinstance(spec, str) else list(spec)
     out: list[str] = []
     for el in elements:
+        # "shard://<pattern>" marks a multi-host input group: the pattern
+        # expands normally here (all processes see the same path list, so
+        # headers/artifact names stay identical); the per-process FILE
+        # slice is taken at read time (Input._code_batches).  In a
+        # multi-process run the slice is applied to COUNT inputs with or
+        # without the prefix — counting the same file on every host would
+        # multiply every k-mer by the host count.
+        if el.startswith("shard://"):
+            el = el[len("shard://"):]
         if fastx.is_generator_path(el):
             # a gen:<shell command> is opaque: the command may contain
             # spaces/globs that belong to the SHELL, not to this group
@@ -150,8 +159,11 @@ class Input:
             # accelerator backends; on CPU (tests, virtual meshes) it is
             # opt-in via KAT_TPU_SHARD=1 because per-shape shard_map
             # compiles dwarf tiny workloads.
+            # multi-process runs MUST shard: a per-process private table
+            # would hold only that host's file slice
             want_shard = (os.environ.get("KAT_TPU_SHARD") == "1"
-                          or jax.default_backend() != "cpu")
+                          or jax.default_backend() != "cpu"
+                          or jax.process_count() > 1)
             if (n_dev > 1 and want_shard
                     and not os.environ.get("KAT_TPU_NO_SHARD")):
                 self.shards = self._count_sharded(n_dev)
@@ -201,7 +213,10 @@ class Input:
                         sc.add(hi, lo, valid)
                 self.table = sc.finish()
         if self.shards is not None:
-            n_uniq = int(np.asarray(self.shards.n_unique).sum())
+            # _host_array allgathers across processes when the mesh spans
+            # hosts (a plain np.asarray can only see addressable shards)
+            n_uniq = int(self.shards._host_array(
+                self.shards.n_unique).sum())
         else:
             n_uniq = int(self.table.n_unique)
         self.header = jellyfish.JfHeader(
@@ -304,26 +319,61 @@ class Input:
                 else:
                     raise
 
+    def _shard_paths_trims(self):
+        """This process's slice of the input files in a multi-process run
+        (balanced by size, same round-robin as distributed.shard_files),
+        with 5' trims following their files.  Single-process: everything."""
+        from ..parallel.distributed import process_count, process_index
+
+        cnt = process_count()
+        if cnt <= 1:
+            return self.paths, (self.trim5 or None)
+        order = sorted(
+            range(len(self.paths)),
+            key=lambda i: -os.path.getsize(self.paths[i])
+            if os.path.exists(self.paths[i]) else 0)
+        mine = sorted(order[process_index()::cnt])
+        paths = [self.paths[i] for i in mine]
+        if self.trim5 and len(self.trim5) == len(self.paths):
+            trims = [self.trim5[i] for i in mine]
+        else:
+            trims = self.trim5 or None  # one value applies to every file
+        return paths, trims
+
     def _code_batches(self):
         """2-bit code batches for counting: the native densely packed
         reader when available (kat_tpu/native/fastxio.cpp), else the
         pure-Python bucketed encoder.  A background thread keeps the
-        parser a few batches ahead of device compute (io/prefetch.py)."""
+        parser a few batches ahead of device compute (io/prefetch.py).
+
+        Multi-process runs read only this process's file slice and pass
+        every batch through the lockstep padder so the sharded counter's
+        collective flush schedule is identical on all hosts."""
         from ..io import native
         from ..io.prefetch import prefetch
+        from ..parallel.distributed import (lockstep_code_batches,
+                                            process_count)
 
-        any_stream = any(fastx.is_stream_path(p) for p in self.paths)
-        if (native.available() and not any_stream
-                and not os.environ.get("KAT_TPU_NO_NATIVE")):
-            it = native.stream_code_batches(
-                self.paths, self.mer_len, self.trim5 or None,
-                threads=native.reader_threads_default(len(self.paths)))
+        paths, trims = self._shard_paths_trims()
+        if not paths:
+            it = iter(())
         else:
-            # generator pipes / FIFOs / stdin go through the python
-            # streaming reader (single-open, peek-based sniffing)
-            recs = fastx.read_records_multi(self.paths, self.trim5 or None)
-            it = fastx.encode_batches(recs, self.mer_len)
-        yield from prefetch(it)
+            any_stream = any(fastx.is_stream_path(p) for p in paths)
+            if (native.available() and not any_stream
+                    and not os.environ.get("KAT_TPU_NO_NATIVE")):
+                it = native.stream_code_batches(
+                    paths, self.mer_len, trims,
+                    threads=native.reader_threads_default(len(paths)))
+            else:
+                # generator pipes / FIFOs / stdin go through the python
+                # streaming reader (single-open, peek-based sniffing)
+                recs = fastx.read_records_multi(paths, trims)
+                it = fastx.encode_batches(recs, self.mer_len)
+            it = prefetch(it)
+        if process_count() > 1:
+            yield from lockstep_code_batches(it)
+        else:
+            yield from it
 
     def load(self, quiet: bool = False) -> None:
         with stage("Loading hashes into memory", quiet=quiet):

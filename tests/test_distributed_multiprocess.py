@@ -252,6 +252,70 @@ def test_two_process_analysis_matches_single():
     assert want["analysis"]["gcp_sum"] > 0
 
 
+WORKER_CLI = textwrap.dedent("""
+    import json, os, sys
+    pid, nproc, port, out = (int(sys.argv[1]), int(sys.argv[2]),
+                             sys.argv[3], sys.argv[4])
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from jax._src import xla_bridge as xb
+    xb._backend_factories.pop("axon", None)
+    if nproc > 1:
+        jax.distributed.initialize(
+            coordinator_address="127.0.0.1:" + port,
+            num_processes=nproc, process_id=pid)
+    sys.path.insert(0, {root!r})
+    from kat_tpu import cli
+    rc = cli.main([
+        "hist", "-m", "17", "-H", "200000", "-o", out,
+        "shard:///root/reference/tests/data/ecoli_r{{1,2}}.1K.fastq"])
+    assert rc == 0
+    # the artifact stays on disk for the parent: printing ~69KB into the
+    # parent's sequentially-drained 64KB pipe deadlocks the collective
+    # shutdown (worker blocks in print, peer waits in the exit barrier)
+    print("HIST %d OK" % pid, flush=True)
+""").format(root=ROOT)
+
+
+def _run_cli(nproc: int, port: int, tmp) -> dict:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("PYTEST_CURRENT_TEST", None)
+    # fresh per-worker compile-cache dirs: keeps the workers out of the
+    # session-shared persistent cache (stale cross-host AOT entries there
+    # are the documented hang/SIGILL hazard)
+    procs = [subprocess.Popen(
+        [sys.executable, "-u", "-c", WORKER_CLI, str(pid), str(nproc),
+         str(port), os.path.join(tmp, f"hist_{nproc}p_{pid}")],
+        env=dict(env, JAX_COMPILATION_CACHE_DIR=os.path.join(
+            tmp, f"jaxcache_{nproc}p_{pid}")),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in range(nproc)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    if any(p.returncode != 0 for p in procs):
+        raise AssertionError("worker(s) failed:\n" + "\n".join(
+            f"--- pid {i} rc={p.returncode}\n{o[:800]}\n{e[-2500:]}"
+            for i, (p, (o, e)) in enumerate(zip(procs, outs))))
+    assert all("OK" in o for o, _ in outs)
+    return {pid: open(os.path.join(tmp, f"hist_{nproc}p_{pid}")).read()
+            for pid in range(nproc)}
+
+
+def test_two_process_cli_hist_shard_scheme_matches_single(tmp_path):
+    """The documented multi-host CLI recipe end to end: `kat hist
+    shard://...` on a 2-process global mesh slices the FILES per process
+    (uneven: r1/r2 differ in size), keeps the collective flush schedule in
+    lockstep via padded batches, and every process writes the same
+    artifact as a plain single-process run over both files."""
+    base = 16000 + (os.getpid() * 7) % 14000
+    want = _run_cli(1, base, str(tmp_path))
+    got = _run_cli(2, base + 1, str(tmp_path))
+    assert got[0] == want[0]
+    assert got[1] == want[0]
+    assert "###" in want[0]  # a real mme-headered histogram
+
+
 def test_four_process_uneven_wide_matches_single():
     """4 localhost processes x 2 devices, UNEVEN per-process batch counts
     (balanced with empty padding batches), wide (k=33) keys: exact parity
