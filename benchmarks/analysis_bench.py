@@ -188,12 +188,14 @@ def main() -> None:
     res["table2_entries"] = int(tab2.n_unique)
 
     def comp_call():
+        # canonical tables probing canonical tables: the probe streams
+        # are sorted keys, exactly as tools/comp.py now asserts
         o1 = comp_engine.pass1(
             tab1, tab2, None, k=K, d1_bins=1001, d2_bins=1001,
             dm_size=10000, d1_scale=1.0, d2_scale=1.0, canon2=True,
-            canon3=True, three=False)
+            canon3=True, three=False, sorted2=True)
         o2 = comp_engine.pass2(tab2, tab1, k=K, d2_bins=1001,
-                               dm_size=10000, d2_scale=1.0)
+                               dm_size=10000, d2_scale=1.0, sorted1=True)
         return o1[0]["shared_distinct"] + o2[0]["hash2_distinct"]
 
     x = comp_call()

@@ -41,21 +41,30 @@ def _maybe_canonical(words, k: int, canonical: bool):
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "d1_bins", "d2_bins", "dm_size", "canon2", "canon3", "three",
-    "d1_scale", "d2_scale"))
+    "d1_scale", "d2_scale", "sorted2", "sorted3"))
 def pass1(t1, t2, t3, k: int, d1_bins: int, d2_bins: int, dm_size: int,
           d1_scale: float, d2_scale: float,
-          canon2: bool, canon3: bool, three: bool):
+          canon2: bool, canon3: bool, three: bool,
+          sorted2: bool = False, sorted3: bool = False):
     """Iterate hash1 entries; probe hash2 (and hash3).  Returns counters,
-    spectra and matrices (comp.cc:366-433)."""
+    spectra and matrices (comp.cc:366-433).
+
+    sorted2/sorted3: the probe stream is t1's own (sorted) keys; when the
+    canonicalization is an identity — no canonicalization requested, or
+    t1 already stores canonical keys — the stream stays sorted and the
+    join lookup skips its sort/un-permute passes (callers assert this
+    from the inputs' canonical flags)."""
     real = tables.real_mask(t1)
     h1 = jnp.where(real, t1.counts, 0).astype(jnp.uint64)
     words1 = tables.key_words(t1)
 
     q2 = _maybe_canonical(words1, k, canon2)
-    h2 = jnp.where(real, tables.lookup(t2, q2).astype(jnp.uint64), 0)
+    h2 = jnp.where(real, tables.lookup(
+        t2, q2, assume_sorted=sorted2).astype(jnp.uint64), 0)
     if three:
         q3 = _maybe_canonical(words1, k, canon3)
-        h3 = jnp.where(real, tables.lookup(t3, q3).astype(jnp.uint64), 0)
+        h3 = jnp.where(real, tables.lookup(
+            t3, q3, assume_sorted=sorted3).astype(jnp.uint64), 0)
     else:
         h3 = jnp.zeros_like(h1)
 
@@ -101,14 +110,18 @@ def pass1(t1, t2, t3, k: int, d1_bins: int, d2_bins: int, dm_size: int,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "d2_bins", "dm_size",
-                                             "d2_scale"))
-def pass2(t2, t1, k: int, d2_bins: int, dm_size: int, d2_scale: float):
+                                             "d2_scale", "sorted1"))
+def pass2(t2, t1, k: int, d2_bins: int, dm_size: int, d2_scale: float,
+          sorted1: bool = False):
     """Iterate hash2 entries; probe hash1 (comp.cc:436-463).  Queries are
-    ALWAYS canonicalized — the reference's pointer-as-bool bug (§5.1.2)."""
+    ALWAYS canonicalized — the reference's pointer-as-bool bug (§5.1.2).
+    sorted1: t2 stores canonical keys, so the always-canonicalize is an
+    identity and the probe stream stays sorted (see pass1)."""
     real = tables.real_mask(t2)
     h2 = jnp.where(real, t2.counts, 0).astype(jnp.uint64)
     q1 = tables.canonicalize(tables.key_words(t2), k)
-    h1 = jnp.where(real, tables.lookup(t1, q1).astype(jnp.uint64), 0)
+    h1 = jnp.where(real, tables.lookup(
+        t1, q1, assume_sorted=sorted1).astype(jnp.uint64), 0)
 
     w = real.astype(jnp.uint64)
     only = real & (h1 == 0)

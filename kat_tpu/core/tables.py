@@ -62,12 +62,17 @@ def _join_policy(m: int, cap: int, n_words: int) -> bool:
     return m >= max(min_m, cap // 256)
 
 
-def lookup(table, qwords) -> jax.Array:
+def lookup(table, qwords, assume_sorted: bool = False) -> jax.Array:
     """Counts for query keys given as a word tuple matching the table.
 
     Bulk queries on kernel-capable backends go through the sort-merge
     join (streaming passes, ops/join.py); small batches and plain-XLA
     backends use the vectorized binary search.
+
+    assume_sorted=True promises the flattened queries are already in
+    ascending key order (e.g. they are another sorted table's keys) —
+    the join then skips its query-sort and un-permute passes.  Ignored
+    by the binary-search path, which is order-independent.
     """
     m = int(np.prod(qwords[0].shape)) if qwords[0].ndim else 1
     if _join_policy(m, table.counts.shape[0], len(qwords)):
@@ -76,7 +81,8 @@ def lookup(table, qwords) -> jax.Array:
         return counts_join(
             key_words(table), table.counts, tuple(qwords),
             use_kernel=counting.kernels_enabled(),
-            interpret=counting._kernel_interpret())
+            interpret=counting._kernel_interpret(),
+            queries_sorted=assume_sorted)
     if is_wide(table):
         return wide.lookup_wide(table, qwords)
     return counting.lookup(table, qwords[0], qwords[1])

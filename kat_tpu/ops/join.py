@@ -67,9 +67,11 @@ def _run_max(words, c):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("use_kernel", "interpret"))
+                   static_argnames=("use_kernel", "interpret",
+                                    "queries_sorted"))
 def counts_join(twords, tcounts, qwords, use_kernel: bool = False,
-                interpret: bool = False) -> jax.Array:
+                interpret: bool = False,
+                queries_sorted: bool = False) -> jax.Array:
     """Counts for query keys against a sorted unique-key table.
 
     twords: tuple of uint32 key-word planes, ascending lexicographic,
@@ -80,7 +82,15 @@ def counts_join(twords, tcounts, qwords, use_kernel: bool = False,
 
     use_kernel selects the Pallas sort/merge kernels (TPU) vs the pure
     XLA formulations (CPU tests / fallback); results are identical.
-    """
+
+    queries_sorted=True asserts the flattened queries are ALREADY in
+    ascending lexicographic key order (sentinel queries therefore at the
+    tail) and skips both the query sort and — on the kernel path — the
+    un-permute sort: the compaction's stable stream order IS query order
+    (equal-key queries may interleave through the unstable bitonic merge,
+    but equal keys have equal answers).  comp's probe streams are another
+    sorted table's own keys, so its pass-1/2 joins ride this for free
+    (src/comp.cc:401-404,447 walks hash1/hash2 in iteration order)."""
     n_words = len(twords)
     shape = qwords[0].shape
     qs = tuple(q.reshape(-1).astype(jnp.uint32) for q in qwords)
@@ -92,8 +102,10 @@ def counts_join(twords, tcounts, qwords, use_kernel: bool = False,
     tidx = jnp.full((n_t,), SENTINEL, jnp.uint32)
     zcnt = jnp.zeros((m,), jnp.uint32)
 
-    if use_kernel:
-        from .merge_kernel import merge_sorted_kernel
+    if queries_sorted:
+        # already key-ordered; idx (ascending) is a valid tiebreak as-is
+        sq = qs + (idx,)
+    elif use_kernel:
         from .sort_kernel import sort_planes_padded
 
         # idx rides as a FINAL KEY word: the sort pads with all-sentinel
@@ -102,13 +114,18 @@ def counts_join(twords, tcounts, qwords, use_kernel: bool = False,
         # can never drop a real query.
         sq = sort_planes_padded(qs + (idx,), n_words + 1,
                                 interpret=interpret)
+    else:
+        sq = jax.lax.sort(qs + (idx,), num_keys=n_words)
+
+    if use_kernel:
+        from .merge_kernel import merge_sorted_kernel
+
         mw, mp = merge_sorted_kernel(twords, (tcounts, tidx),
                                      sq[:n_words], (zcnt, sq[n_words]),
                                      interpret=interpret)
     else:
         from .merge import merge_sorted
 
-        sq = jax.lax.sort(qs + (idx,), num_keys=n_words)
         mw, mp = merge_sorted(twords, (tcounts, tidx),
                               sq[:n_words], (zcnt, sq[n_words]))
 
@@ -119,16 +136,20 @@ def counts_join(twords, tcounts, qwords, use_kernel: bool = False,
     if use_kernel:
         # pull the m query rows out of the merged stream with ONE
         # streaming compaction pass (each query idx appears exactly once
-        # — table rows carry SENTINEL, merge padding 0), then un-permute
-        # with a sort over m instead of the full merged length.
+        # — table rows carry SENTINEL, merge padding 0); unsorted queries
+        # then un-permute with a sort over m instead of the full merged
+        # length, sorted queries need nothing more.
         from .reduce_kernel import compact_flagged
         from .sort_kernel import sort_planes_padded
 
         keep = ((midx != SENTINEL) & (midx != 0)).astype(jnp.uint32)
         ki, kc, _nk = compact_flagged((midx, c), keep, m,
                                       interpret=interpret)
-        _si, sc = sort_planes_padded((ki, kc), 1, interpret=interpret)
-        out = sc[:m].astype(jnp.uint32)
+        if queries_sorted:
+            out = kc.astype(jnp.uint32)
+        else:
+            _si, sc = sort_planes_padded((ki, kc), 1, interpret=interpret)
+            out = sc[:m].astype(jnp.uint32)
     else:
         si, sc = jax.lax.sort((midx, c), num_keys=1)
         # ascending idx: [merge padding idx=0 | queries idx 1..m | table

@@ -71,7 +71,9 @@ def _specs_for(c: ShardedCounter):
 def comp_sharded(c1: ShardedCounter, c2: ShardedCounter,
                  c3: ShardedCounter | None, *, k: int, d1_bins: int,
                  d2_bins: int, dm_size: int, d1_scale: float,
-                 d2_scale: float, canon2: bool, canon3: bool):
+                 d2_scale: float, canon2: bool, canon3: bool,
+                 sorted1: bool = False, sorted2: bool = False,
+                 sorted3: bool = False):
     """All three comp passes with the tables left sharded on the mesh.
 
     Returns the same host-side structures as the single-table passes
@@ -97,12 +99,17 @@ def comp_sharded(c1: ShardedCounter, c2: ShardedCounter,
         t2 = _local_table(nw, flat[n_args:2 * n_args])
         t3 = _local_table(nw, flat[2 * n_args:]) if three else None
 
+        # each shard's table slice is itself sorted with sentinel tail,
+        # so the sorted-probe promises hold per shard exactly as they do
+        # for the single table
         outs1 = comp_engine.pass1(
             t1, t2, t3, k=k, d1_bins=d1_bins, d2_bins=d2_bins,
             dm_size=dm_size, d1_scale=d1_scale, d2_scale=d2_scale,
-            canon2=canon2, canon3=canon3, three=three)
+            canon2=canon2, canon3=canon3, three=three,
+            sorted2=sorted2, sorted3=sorted3)
         outs2 = comp_engine.pass2(t2, t1, k=k, d2_bins=d2_bins,
-                                  dm_size=dm_size, d2_scale=d2_scale)
+                                  dm_size=dm_size, d2_scale=d2_scale,
+                                  sorted1=sorted1)
         outs3 = comp_engine.pass3(t3) if three else {}
         tree = (outs1[:5] + (outs1[5:] if three else ()), outs2, outs3)
         return psum_exact(tree, axis_names)

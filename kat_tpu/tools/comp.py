@@ -109,6 +109,16 @@ class Comp:
     def _compare(self, dm_size: int) -> None:
         k = self.mer_len
         active = self._active_inputs()
+        # Probe streams in pass1/2 are a sorted table's own keys; they
+        # stay sorted whenever the applied canonicalization is an
+        # identity (none requested, or the probing table already stores
+        # canonical keys) — the join lookups then skip sort/un-permute.
+        canon1 = self.inputs[0].canonical
+        canon2 = self.inputs[1].canonical
+        canon3 = (self.inputs[2].canonical if self.three_inputs else True)
+        sorted2 = (not canon2) or canon1
+        sorted3 = (not canon3) or canon1
+        sorted1 = canon2  # pass2 always canonicalizes (§5.1.2)
 
         if all(i.shards is not None for i in active):
             # co-partitioned shards: every probe is a local join, results
@@ -120,10 +130,8 @@ class Comp:
                 self.inputs[2].shards if self.three_inputs else None,
                 k=k, d1_bins=self.d1_bins, d2_bins=self.d2_bins,
                 dm_size=dm_size, d1_scale=self.d1_scale,
-                d2_scale=self.d2_scale,
-                canon2=self.inputs[1].canonical,
-                canon3=(self.inputs[2].canonical if self.three_inputs
-                        else True))
+                d2_scale=self.d2_scale, canon2=canon2, canon3=canon3,
+                sorted1=sorted1, sorted2=sorted2, sorted3=sorted3)
             c1, sp1, ssp1, ssp2, main_mx, ends, mixed, middle = outs1
             c2, sp2, row0 = outs2
             c3 = outs3
@@ -143,13 +151,12 @@ class Comp:
                     t1, t2, t3, k=k, d1_bins=self.d1_bins,
                     d2_bins=self.d2_bins, dm_size=dm_size,
                     d1_scale=self.d1_scale, d2_scale=self.d2_scale,
-                    canon2=self.inputs[1].canonical,
-                    canon3=(self.inputs[2].canonical if self.three_inputs
-                            else True),
-                    three=self.three_inputs)
+                    canon2=canon2, canon3=canon3,
+                    three=self.three_inputs,
+                    sorted2=sorted2, sorted3=sorted3)
             c2, sp2, row0 = comp_engine.pass2(
                 t2, t1, k=k, d2_bins=self.d2_bins, dm_size=dm_size,
-                d2_scale=self.d2_scale)
+                d2_scale=self.d2_scale, sorted1=sorted1)
             c3 = comp_engine.pass3(t3) if self.three_inputs else {}
 
         counters = {kk: int(v) for kk, v in {**c1, **c2}.items()}

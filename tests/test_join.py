@@ -107,6 +107,77 @@ def test_join_wide_parity(use_kernel, n_words):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("use_kernel", [False, True],
+                         ids=["xla", "kernel-interpret"])
+@pytest.mark.parametrize("m", [5, 700, 2048])
+def test_join_sorted_queries_narrow(use_kernel, m):
+    """queries_sorted=True (the comp pass1/2 fast path: another table's
+    own keys) matches the general path exactly — duplicates, absent keys
+    and sentinel tails included."""
+    rng = np.random.default_rng(17 + m)
+    table, keys = _narrow_table(rng, n_keys=300, capacity=1024)
+    cnts = np.asarray(table.counts[:300])
+    tk = np.asarray(table.keys_hi[:300], np.uint64) << np.uint64(32)
+    tk |= np.asarray(table.keys_lo[:300], np.uint64)
+    q = np.sort(_queries(rng, tk, m))  # ascending, sentinels at the tail
+    qhi = jnp.asarray((q >> np.uint64(32)).astype(np.uint32))
+    qlo = jnp.asarray((q & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+
+    got = counts_join((table.keys_hi, table.keys_lo), table.counts,
+                      (qhi, qlo), use_kernel=use_kernel,
+                      interpret=use_kernel, queries_sorted=True)
+    ref = counting.lookup(table, qhi, qlo)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(got), _expect(tk, cnts, q))
+
+
+@pytest.mark.parametrize("use_kernel", [False, True],
+                         ids=["xla", "kernel-interpret"])
+def test_join_sorted_queries_are_table_keys(use_kernel):
+    """The exact comp shape: probe one table with ANOTHER sorted table's
+    key planes (sentinel capacity tail included) and assume_sorted
+    through tables.lookup."""
+    rng = np.random.default_rng(23)
+    t_a, _ = _narrow_table(rng, n_keys=200, capacity=512)
+    t_b, _ = _narrow_table(rng, n_keys=150, capacity=256)
+    qw = (t_b.keys_hi, t_b.keys_lo)  # sorted, sentinels at tail
+    got = counts_join((t_a.keys_hi, t_a.keys_lo), t_a.counts, qw,
+                      use_kernel=use_kernel, interpret=use_kernel,
+                      queries_sorted=True)
+    ref = counting.lookup(t_a, qw[0], qw[1])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("use_kernel", [False, True],
+                         ids=["xla", "kernel-interpret"])
+def test_join_sorted_queries_wide(use_kernel):
+    rng = np.random.default_rng(29)
+    n_words, m = 4, 400
+    kw = rng.integers(0, 1 << 16, size=(150, n_words)).astype(np.uint32)
+    kw = np.unique(kw, axis=0)
+    cnts = rng.integers(1, 99, size=len(kw)).astype(np.uint32)
+    words = tuple(jnp.asarray(kw[:, i]) for i in range(n_words))
+    out = _unique_reduce_wide(words, jnp.asarray(cnts), 256)
+    table = WideTable(tuple(out[:n_words]), out[n_words], out[n_words + 1])
+
+    pick = rng.integers(0, len(kw), size=m)
+    qw = kw[pick].copy()
+    absent = rng.random(m) < 0.4
+    qw[absent, -1] ^= 0x10000
+    sent = rng.random(m) < 0.1
+    qw[sent] = SENTINEL
+    qw = qw[np.lexsort(tuple(qw[:, i] for i in reversed(range(n_words))))]
+    qwords = tuple(jnp.asarray(qw[:, i]) for i in range(n_words))
+
+    got = counts_join(table.words, table.counts, qwords,
+                      use_kernel=use_kernel, interpret=use_kernel,
+                      queries_sorted=True)
+    from kat_tpu.core.wide import lookup_wide
+
+    ref = lookup_wide(table, qwords)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_join_empty_queries():
     rng = np.random.default_rng(3)
     table, _ = _narrow_table(rng, n_keys=10, capacity=16)
