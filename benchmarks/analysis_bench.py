@@ -189,13 +189,17 @@ def main() -> None:
 
     def comp_call():
         # canonical tables probing canonical tables: the probe streams
-        # are sorted keys, exactly as tools/comp.py now asserts
+        # are sorted keys and the two cross probes fuse into ONE merge
+        # (tables.lookup_dual), exactly as tools/comp.py now does
+        pre = tables.lookup_dual(tab1, tab2)
+        h2_pre, h1_pre = pre if pre is not None else (None, None)
         o1 = comp_engine.pass1(
             tab1, tab2, None, k=K, d1_bins=1001, d2_bins=1001,
             dm_size=10000, d1_scale=1.0, d2_scale=1.0, canon2=True,
-            canon3=True, three=False, sorted2=True)
+            canon3=True, three=False, sorted2=True, h2_pre=h2_pre)
         o2 = comp_engine.pass2(tab2, tab1, k=K, d2_bins=1001,
-                               dm_size=10000, d2_scale=1.0, sorted1=True)
+                               dm_size=10000, d2_scale=1.0, sorted1=True,
+                               h1_pre=h1_pre)
         return o1[0]["shared_distinct"] + o2[0]["hash2_distinct"]
 
     x = comp_call()

@@ -45,7 +45,7 @@ def _maybe_canonical(words, k: int, canonical: bool):
 def pass1(t1, t2, t3, k: int, d1_bins: int, d2_bins: int, dm_size: int,
           d1_scale: float, d2_scale: float,
           canon2: bool, canon3: bool, three: bool,
-          sorted2: bool = False, sorted3: bool = False):
+          sorted2: bool = False, sorted3: bool = False, h2_pre=None):
     """Iterate hash1 entries; probe hash2 (and hash3).  Returns counters,
     spectra and matrices (comp.cc:366-433).
 
@@ -58,9 +58,14 @@ def pass1(t1, t2, t3, k: int, d1_bins: int, d2_bins: int, dm_size: int,
     h1 = jnp.where(real, t1.counts, 0).astype(jnp.uint64)
     words1 = tables.key_words(t1)
 
-    q2 = _maybe_canonical(words1, k, canon2)
-    h2 = jnp.where(real, tables.lookup(
-        t2, q2, assume_sorted=sorted2).astype(jnp.uint64), 0)
+    if h2_pre is not None:
+        # fused cross-probe (tables.lookup_dual): pass 1 and pass 2 share
+        # ONE table merge; h2_pre is already aligned with t1's slots
+        h2 = jnp.where(real, h2_pre.astype(jnp.uint64), 0)
+    else:
+        q2 = _maybe_canonical(words1, k, canon2)
+        h2 = jnp.where(real, tables.lookup(
+            t2, q2, assume_sorted=sorted2).astype(jnp.uint64), 0)
     if three:
         q3 = _maybe_canonical(words1, k, canon3)
         h3 = jnp.where(real, tables.lookup(
@@ -112,16 +117,19 @@ def pass1(t1, t2, t3, k: int, d1_bins: int, d2_bins: int, dm_size: int,
 @functools.partial(jax.jit, static_argnames=("k", "d2_bins", "dm_size",
                                              "d2_scale", "sorted1"))
 def pass2(t2, t1, k: int, d2_bins: int, dm_size: int, d2_scale: float,
-          sorted1: bool = False):
+          sorted1: bool = False, h1_pre=None):
     """Iterate hash2 entries; probe hash1 (comp.cc:436-463).  Queries are
     ALWAYS canonicalized — the reference's pointer-as-bool bug (§5.1.2).
     sorted1: t2 stores canonical keys, so the always-canonicalize is an
     identity and the probe stream stays sorted (see pass1)."""
     real = tables.real_mask(t2)
     h2 = jnp.where(real, t2.counts, 0).astype(jnp.uint64)
-    q1 = tables.canonicalize(tables.key_words(t2), k)
-    h1 = jnp.where(real, tables.lookup(
-        t1, q1, assume_sorted=sorted1).astype(jnp.uint64), 0)
+    if h1_pre is not None:
+        h1 = jnp.where(real, h1_pre.astype(jnp.uint64), 0)
+    else:
+        q1 = tables.canonicalize(tables.key_words(t2), k)
+        h1 = jnp.where(real, tables.lookup(
+            t1, q1, assume_sorted=sorted1).astype(jnp.uint64), 0)
 
     w = real.astype(jnp.uint64)
     only = real & (h1 == 0)

@@ -88,6 +88,27 @@ def lookup(table, qwords, assume_sorted: bool = False) -> jax.Array:
     return counting.lookup(table, qwords[0], qwords[1])
 
 
+def lookup_dual(t_a, t_b):
+    """Counts of each table's keys in the OTHER table through one merge
+    (ops/join.counts_join_dual) — comp's pass-1/2 cross probes fused.
+
+    Returns (b_counts_for_a_keys, a_counts_for_b_keys) aligned with each
+    table's capacity, or None when the join policy would not engage for
+    either direction (callers fall back to two independent lookups)."""
+    cap_a = t_a.counts.shape[0]
+    cap_b = t_b.counts.shape[0]
+    n_words = len(key_words(t_a))
+    if not (_join_policy(cap_a, cap_b, n_words)
+            and _join_policy(cap_b, cap_a, n_words)):
+        return None
+    from ..ops.join import counts_join_dual
+
+    return counts_join_dual(
+        key_words(t_a), t_a.counts, key_words(t_b), t_b.counts,
+        use_kernel=counting.kernels_enabled(),
+        interpret=counting._kernel_interpret())
+
+
 def compact(table, min_capacity: int = 1 << 17):
     """Host-side shrink of a FINISHED table to the smallest pow2 capacity
     holding its real entries (sorted layout: real rows are a prefix).

@@ -40,12 +40,14 @@ import jax.numpy as jnp
 from ..core.kmers import SENTINEL
 
 
-def _run_max(words, c):
-    """Max of c over each run of equal keys (lexicographic word tuples),
-    via Hillis-Steele window doubling: after step t every element holds
-    the max over a radius-(2^t - 1) window clipped to its run.  log2(n)
-    elementwise passes, no gathers."""
-    n = c.shape[0]
+def _run_max_multi(words, cs):
+    """Max of each plane in cs over each run of equal keys (lexicographic
+    word tuples), via Hillis-Steele window doubling: after step t every
+    element holds the max over a radius-(2^t - 1) window clipped to its
+    run.  log2(n) elementwise passes, no gathers; the run-reachability
+    plane is computed once and shared by every count plane."""
+    cs = list(cs)
+    n = cs[0].shape[0]
     eq = jnp.ones((n - 1,), jnp.bool_)
     for w in words:
         eq = eq & (w[1:] == w[:-1])
@@ -53,17 +55,22 @@ def _run_max(words, c):
     reach = jnp.concatenate([jnp.zeros((1,), jnp.bool_), eq])
     d = 1
     while d < n:
-        zc = jnp.zeros((d,), c.dtype)
-        cl = jnp.concatenate([zc, c[:-d]])
-        cr = jnp.concatenate([c[d:], zc])
         rb = jnp.concatenate([reach[d:], jnp.zeros((d,), jnp.bool_)])
-        c = jnp.maximum(c, jnp.maximum(jnp.where(reach, cl, 0),
-                                       jnp.where(rb, cr, 0)))
+        for i, c in enumerate(cs):
+            zc = jnp.zeros((d,), c.dtype)
+            cl = jnp.concatenate([zc, c[:-d]])
+            cr = jnp.concatenate([c[d:], zc])
+            cs[i] = jnp.maximum(c, jnp.maximum(jnp.where(reach, cl, 0),
+                                               jnp.where(rb, cr, 0)))
         if 2 * d < n:
             reach = reach & jnp.concatenate(
                 [jnp.zeros((d,), jnp.bool_), reach[:-d]])
         d *= 2
-    return c
+    return cs
+
+
+def _run_max(words, c):
+    return _run_max_multi(words, (c,))[0]
 
 
 @functools.partial(jax.jit,
@@ -157,3 +164,61 @@ def counts_join(twords, tcounts, qwords, use_kernel: bool = False,
         front = big_n - n_t - m
         out = sc[front:front + m].astype(jnp.uint32)
     return out.reshape(shape)
+
+
+@functools.partial(jax.jit, static_argnames=("use_kernel", "interpret"))
+def counts_join_dual(awords, acounts, bwords, bcounts,
+                     use_kernel: bool = False, interpret: bool = False):
+    """Counts of each sorted unique-key table's keys in the OTHER table,
+    through ONE merge.
+
+    comp's pass 1 probes hash2 with hash1's keys and pass 2 probes hash1
+    with hash2's keys (src/comp.cc:401-404,447); since both probe streams
+    are the tables' own sorted keys, a single bitonic merge of the two
+    tables answers BOTH directions: every equal-key run holds at most one
+    row of each table (keys are unique per table), so the run max of each
+    table's count plane is the other table's answer.  A source plane
+    (1=a, 2=b, 0=merge padding) drives two stable compactions whose
+    stream order is each table's own sorted order — no query sorts, no
+    un-permutes.
+
+    Returns (b_counts_for_a_keys [len(a)], a_counts_for_b_keys [len(b)]),
+    uint32; sentinel (padding) rows get 0.
+    """
+    n_words = len(awords)
+    na = awords[0].shape[0]
+    nb = bwords[0].shape[0]
+    a_payload = (acounts, jnp.zeros((na,), jnp.uint32),
+                 jnp.ones((na,), jnp.uint32))
+    b_payload = (jnp.zeros((nb,), jnp.uint32), bcounts,
+                 jnp.full((nb,), 2, jnp.uint32))
+
+    if use_kernel:
+        from .merge_kernel import merge_sorted_kernel
+
+        mw, mp = merge_sorted_kernel(awords, a_payload, bwords, b_payload,
+                                     interpret=interpret)
+    else:
+        from .merge import merge_sorted
+
+        mw, mp = merge_sorted(awords, a_payload, bwords, b_payload)
+
+    mca, mcb, msrc = mp
+    ra, rb = _run_max_multi(mw, (mca, mcb))
+
+    if use_kernel:
+        from .reduce_kernel import compact_flagged
+
+        out_a, _n1 = compact_flagged((rb,), (msrc == 1).astype(jnp.uint32),
+                                     na, interpret=interpret)
+        out_b, _n2 = compact_flagged((ra,), (msrc == 2).astype(jnp.uint32),
+                                     nb, interpret=interpret)
+    else:
+        # stable sort by NOT-kept moves each table's rows to the front in
+        # stream (= that table's key) order
+        _f, sa = jax.lax.sort(((msrc != 1).astype(jnp.uint32), rb),
+                              num_keys=1)
+        _g, sb = jax.lax.sort(((msrc != 2).astype(jnp.uint32), ra),
+                              num_keys=1)
+        out_a, out_b = sa[:na], sb[:nb]
+    return out_a.astype(jnp.uint32), out_b.astype(jnp.uint32)

@@ -101,15 +101,22 @@ def comp_sharded(c1: ShardedCounter, c2: ShardedCounter,
 
         # each shard's table slice is itself sorted with sentinel tail,
         # so the sorted-probe promises hold per shard exactly as they do
-        # for the single table
+        # for the single table — including the fused pass1+pass2 cross
+        # probe (one local merge per shard; co-partitioning makes every
+        # cross-key local)
+        from ..core import tables as _tables
+
+        pre = (_tables.lookup_dual(t1, t2)
+               if (sorted2 and sorted1) else None)
+        h2_pre, h1_pre = pre if pre is not None else (None, None)
         outs1 = comp_engine.pass1(
             t1, t2, t3, k=k, d1_bins=d1_bins, d2_bins=d2_bins,
             dm_size=dm_size, d1_scale=d1_scale, d2_scale=d2_scale,
             canon2=canon2, canon3=canon3, three=three,
-            sorted2=sorted2, sorted3=sorted3)
+            sorted2=sorted2, sorted3=sorted3, h2_pre=h2_pre)
         outs2 = comp_engine.pass2(t2, t1, k=k, d2_bins=d2_bins,
                                   dm_size=dm_size, d2_scale=d2_scale,
-                                  sorted1=sorted1)
+                                  sorted1=sorted1, h1_pre=h1_pre)
         outs3 = comp_engine.pass3(t3) if three else {}
         tree = (outs1[:5] + (outs1[5:] if three else ()), outs2, outs3)
         return psum_exact(tree, axis_names)

@@ -146,6 +146,12 @@ class Comp:
             t3 = (_tables.compact(self.inputs[2].host_table())
                   if self.three_inputs else None)
 
+            # both cross-probe streams sorted => pass1+pass2 can share
+            # ONE table merge (tables.lookup_dual); None when the join
+            # policy keeps the binary search
+            pre = (_tables.lookup_dual(t1, t2)
+                   if (sorted2 and sorted1) else None)
+            h2_pre, h1_pre = pre if pre is not None else (None, None)
             c1, sp1, ssp1, ssp2, main_mx, ends, mixed, middle = \
                 comp_engine.pass1(
                     t1, t2, t3, k=k, d1_bins=self.d1_bins,
@@ -153,10 +159,10 @@ class Comp:
                     d1_scale=self.d1_scale, d2_scale=self.d2_scale,
                     canon2=canon2, canon3=canon3,
                     three=self.three_inputs,
-                    sorted2=sorted2, sorted3=sorted3)
+                    sorted2=sorted2, sorted3=sorted3, h2_pre=h2_pre)
             c2, sp2, row0 = comp_engine.pass2(
                 t2, t1, k=k, d2_bins=self.d2_bins, dm_size=dm_size,
-                d2_scale=self.d2_scale, sorted1=sorted1)
+                d2_scale=self.d2_scale, sorted1=sorted1, h1_pre=h1_pre)
             c3 = comp_engine.pass3(t3) if self.three_inputs else {}
 
         counters = {kk: int(v) for kk, v in {**c1, **c2}.items()}

@@ -220,3 +220,61 @@ def test_compact_table_preserves_lookups():
         np.asarray(counting.lookup(table, qhi, qlo)))
     # no-op when already tight
     assert tables.compact(small, min_capacity=128) is small
+
+
+@pytest.mark.parametrize("use_kernel", [False, True],
+                         ids=["xla", "kernel-interpret"])
+def test_join_dual_matches_two_lookups(use_kernel):
+    """counts_join_dual answers BOTH cross-probe directions from one
+    merge, exactly matching two independent binary searches — including
+    unequal capacities and sentinel capacity tails."""
+    rng = np.random.default_rng(31)
+    t_a, _ = _narrow_table(rng, n_keys=220, capacity=512)
+    t_b, _ = _narrow_table(rng, n_keys=90, capacity=128)
+    from kat_tpu.ops.join import counts_join_dual
+
+    got_a, got_b = counts_join_dual(
+        (t_a.keys_hi, t_a.keys_lo), t_a.counts,
+        (t_b.keys_hi, t_b.keys_lo), t_b.counts,
+        use_kernel=use_kernel, interpret=use_kernel)
+    ref_a = counting.lookup(t_b, t_a.keys_hi, t_a.keys_lo)
+    ref_b = counting.lookup(t_a, t_b.keys_hi, t_b.keys_lo)
+    np.testing.assert_array_equal(np.asarray(got_a), np.asarray(ref_a))
+    np.testing.assert_array_equal(np.asarray(got_b), np.asarray(ref_b))
+    # shared keys exist in this construction (same key universe)
+    assert int(np.asarray(got_a).sum()) > 0
+
+
+@pytest.mark.parametrize("use_kernel", [False, True],
+                         ids=["xla", "kernel-interpret"])
+def test_join_dual_wide(use_kernel):
+    rng = np.random.default_rng(37)
+    n_words = 4
+
+    shared = rng.integers(0, 1 << 8,
+                          size=(25, n_words)).astype(np.uint32)
+
+    def wide_table(n_keys, cap, seed):
+        r = np.random.default_rng(seed)
+        kw = r.integers(0, 1 << 8, size=(n_keys, n_words)).astype(np.uint32)
+        kw = np.unique(np.concatenate([kw, shared]), axis=0)
+        cnts = r.integers(1, 99, size=len(kw)).astype(np.uint32)
+        words = tuple(jnp.asarray(kw[:, i]) for i in range(n_words))
+        out = _unique_reduce_wide(words, jnp.asarray(cnts), cap)
+        return WideTable(tuple(out[:n_words]), out[n_words],
+                         out[n_words + 1])
+
+    t_a = wide_table(150, 256, 1)
+    t_b = wide_table(60, 128, 2)
+    from kat_tpu.core.wide import lookup_wide
+    from kat_tpu.ops.join import counts_join_dual
+
+    got_a, got_b = counts_join_dual(t_a.words, t_a.counts,
+                                    t_b.words, t_b.counts,
+                                    use_kernel=use_kernel,
+                                    interpret=use_kernel)
+    np.testing.assert_array_equal(
+        np.asarray(got_a), np.asarray(lookup_wide(t_b, t_a.words)))
+    np.testing.assert_array_equal(
+        np.asarray(got_b), np.asarray(lookup_wide(t_a, t_b.words)))
+    assert int(np.asarray(got_a).sum()) > 0  # overlap by construction
