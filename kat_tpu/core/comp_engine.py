@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from . import tables
-from .stats import (binned_sum, binned_sums, mask_bincount, spectrum,
-                    spectrum_bins)
+from .stats import (binned_sum, binned_sums, mask_bincount,
+                    monotone_packed_sums, spectrum, spectrum_bins)
 
 
 def _scale_clamp(counts: jax.Array, scale: float, bins: int) -> jax.Array:
@@ -90,7 +90,16 @@ def pass1(t1, t2, t3, k: int, d1_bins: int, d2_bins: int, dm_size: int,
     # carries both weight planes (stats.binned_sums)
     spectrum1, shared_spectrum1 = binned_sums(
         dm_size, spectrum_bins(h1, dm_size), (w, ws))
-    shared_spectrum2 = spectrum(h2, ws, dm_size)
+    if h2_pre is not None:
+        # Under the fused dual probe the shared key set is exactly
+        # symmetric (a key is shared iff stored in BOTH tables with a
+        # positive count), so shared_spectrum2 — binned by h2, which is
+        # t2's own count for the key — is computed on pass2's stream
+        # instead, where it rides pass2's one fused sort for free.
+        # Callers sum the two contributions; this one is all zero.
+        shared_spectrum2 = jnp.zeros((dm_size,), jnp.uint64)
+    else:
+        shared_spectrum2 = spectrum(h2, ws, dm_size)
 
     s1 = _scale_clamp(h1, d1_scale, d1_bins)
     s2 = _scale_clamp(h2, d2_scale, d2_bins)
@@ -104,9 +113,13 @@ def pass1(t1, t2, t3, k: int, d1_bins: int, d2_bins: int, dm_size: int,
         ends_w = w * (s2 == s3)
         mixed_w = w * ((s2 != s3) & (h3 > 0))
         middle_w = w * ((s2 != s3) & (h3 == 0))
-        ends_mx = mask_bincount((d1_bins, d2_bins), (s1, s3), ends_w)
-        mixed_mx = mask_bincount((d1_bins, d2_bins), (s1, s3), mixed_w)
-        middle_mx = mask_bincount((d1_bins, d2_bins), (s1, s3), middle_w)
+        # all three matrices bin the SAME (s1, s3) key — one flat
+        # binned_sums sort carries the three weight planes (was three
+        # full-length scatters)
+        ends_mx, mixed_mx, middle_mx = (
+            m.reshape(d1_bins, d2_bins) for m in binned_sums(
+                d1_bins * d2_bins, s1 * d2_bins + s3,
+                (ends_w, mixed_w, middle_w)))
     else:
         ends_mx = mixed_mx = middle_mx = None
 
@@ -121,7 +134,11 @@ def pass2(t2, t1, k: int, d2_bins: int, dm_size: int, d2_scale: float,
     """Iterate hash2 entries; probe hash1 (comp.cc:436-463).  Queries are
     ALWAYS canonicalized — the reference's pointer-as-bool bug (§5.1.2).
     sorted1: t2 stores canonical keys, so the always-canonicalize is an
-    identity and the probe stream stays sorted (see pass1)."""
+    identity and the probe stream stays sorted (see pass1).
+
+    Returns (counters, spectrum2, row0, shared_spectrum2) — the last is
+    this pass's contribution to shared_spectrum2 (nonzero only when
+    h1_pre marks the dual probe; callers add it to pass1's)."""
     real = tables.real_mask(t2)
     h2 = jnp.where(real, t2.counts, 0).astype(jnp.uint64)
     if h1_pre is not None:
@@ -139,11 +156,34 @@ def pass2(t2, t1, k: int, d2_bins: int, dm_size: int, d2_scale: float,
         "hash2_only_total": jnp.sum(jnp.where(only, h2, 0)),
         "hash2_only_distinct": jnp.sum(w * (h1 == 0)),
     }
-    spectrum2 = spectrum(h2, w, dm_size)
+    # shared_spectrum2's contribution when the dual probe is active (see
+    # pass1: the shared set is symmetric, so t2's stream computes it)
+    want_shared2 = h1_pre is not None
+    shared2 = real & (h1 > 0) & (h2 > 0)
 
     s2 = _scale_clamp(h2, d2_scale, d2_bins)
-    row0 = mask_bincount((d2_bins,), s2, only)
-    return counters, spectrum2, row0
+    spec2 = spectrum_bins(h2, dm_size)
+    if dm_size * d2_bins < 2**31 and d2_scale > 0:
+        # spec2 and s2 are both monotone step functions of h2, so the
+        # packed pair takes at most dm_size + d2_bins distinct values —
+        # spectrum2, row0 (and shared_spectrum2) share ONE sort with a
+        # tiny reduce capacity instead of a sort plus a full-length
+        # scatter each (stats.monotone_packed_sums).
+        packed = spec2 * d2_bins + s2
+        masks = (w, only) + ((shared2,) if want_shared2 else ())
+        reqs = ((d2_bins, dm_size, 0), (1, d2_bins, 1)) + (
+            ((d2_bins, dm_size, 2),) if want_shared2 else ())
+        outs = monotone_packed_sums(packed, dm_size + d2_bins + 8,
+                                    reqs, masks)
+        spectrum2, row0 = outs[0], outs[1]
+        shared_spectrum2 = (outs[2] if want_shared2
+                            else jnp.zeros((dm_size,), jnp.uint64))
+    else:
+        spectrum2 = spectrum(h2, w, dm_size)
+        row0 = mask_bincount((d2_bins,), s2, only)
+        shared_spectrum2 = (spectrum(h2, shared2, dm_size) if want_shared2
+                            else jnp.zeros((dm_size,), jnp.uint64))
+    return counters, spectrum2, row0, shared_spectrum2
 
 
 @jax.jit

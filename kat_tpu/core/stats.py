@@ -74,6 +74,59 @@ def binned_sum(total_bins: int, bins: jax.Array,
     return binned_sums(total_bins, bins, (mask01,))[0]
 
 
+def monotone_packed_sums(packed: jax.Array, runs_cap: int,
+                         requests, masks) -> tuple:
+    """Several binned 0/1-mask sums that share ONE sort because every
+    requested bin index derives from the same packed key:
+    ``bin = (packed // div) % mod``.
+
+    The caller guarantees the number of DISTINCT packed values is at most
+    `runs_cap`.  The canonical use is several binnings that are all
+    monotone step functions of one underlying value — e.g. comp pass 2,
+    where the spectrum bin and the scaled matrix column are both monotone
+    in the count h2, so distinct (spectrum_bin, column) pairs never exceed
+    #steps(spectrum) + #steps(column) + 1 <= dm_size + d2_bins.  That tiny
+    bound is what makes the reduce capacity (and its epilogue scatter)
+    negligible next to the sort.
+
+    requests: tuple of (div, mod, mask_index).  Returns one uint64 (mod,)
+    array per request.  `packed` must be in [0, 2**32 - 2] (the top value
+    is the sort sentinel).
+    """
+    from .counting import _kernel_interpret, kernels_enabled
+
+    n = packed.shape[0]
+    if not (kernels_enabled() and n >= BINNED_SORT_MIN):
+        return tuple(
+            mask_bincount((mod,), (packed // div) % mod, masks[mi])
+            for div, mod, mi in requests)
+    from ..ops.reduce_kernel import reduce_compact_sorted
+    from ..ops.sort_kernel import sort_planes_padded
+
+    interp = _kernel_interpret()
+    used = sorted({mi for _, _, mi in requests})
+    planes = sort_planes_padded(
+        (packed.astype(jnp.uint32),
+         *[masks[mi].astype(jnp.uint32) for mi in used]),
+        1, interpret=interp)
+    reduced = {}
+    for j, mi in enumerate(used):
+        ub, us, _nu = reduce_compact_sorted((planes[0],), planes[1 + j],
+                                            runs_cap, interpret=interp)
+        reduced[mi] = (ub, us)
+    outs = []
+    for div, mod, mi in requests:
+        ub, us = reduced[mi]
+        # The packed key is finer than any derived bin, so a derived bin
+        # may repeat across runs — the adds accumulate the runs exactly.
+        # Sentinel padding rows derive an in-range bin but carry zero
+        # sums, so they contribute nothing.
+        idx = ((ub // jnp.uint32(div)) % jnp.uint32(mod)).astype(jnp.int32)
+        acc = jnp.zeros((mod,), jnp.uint32).at[idx].add(us, mode="drop")
+        outs.append(acc.astype(jnp.uint64))
+    return tuple(outs)
+
+
 @functools.partial(jax.jit, static_argnames=("base", "ceil", "inc",
                                               "nb_buckets"))
 def hist_from_counts(counts: jax.Array, base: int, ceil: int, inc: int,

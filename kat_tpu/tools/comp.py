@@ -133,7 +133,7 @@ class Comp:
                 d2_scale=self.d2_scale, canon2=canon2, canon3=canon3,
                 sorted1=sorted1, sorted2=sorted2, sorted3=sorted3)
             c1, sp1, ssp1, ssp2, main_mx, ends, mixed, middle = outs1
-            c2, sp2, row0 = outs2
+            c2, sp2, row0, ssp2b = outs2
             c3 = outs3
         else:
             from ..core import tables as _tables
@@ -160,7 +160,7 @@ class Comp:
                     canon2=canon2, canon3=canon3,
                     three=self.three_inputs,
                     sorted2=sorted2, sorted3=sorted3, h2_pre=h2_pre)
-            c2, sp2, row0 = comp_engine.pass2(
+            c2, sp2, row0, ssp2b = comp_engine.pass2(
                 t2, t1, k=k, d2_bins=self.d2_bins, dm_size=dm_size,
                 d2_scale=self.d2_scale, sorted1=sorted1, h1_pre=h1_pre)
             c3 = comp_engine.pass3(t3) if self.three_inputs else {}
@@ -183,7 +183,10 @@ class Comp:
         self.spectrum1 = np.asarray(sp1, np.uint64)
         self.spectrum2 = np.asarray(sp2, np.uint64)
         self.shared_spectrum1 = np.asarray(ssp1, np.uint64)
-        self.shared_spectrum2 = np.asarray(ssp2, np.uint64)
+        # pass1 + pass2 contributions (exactly one is nonzero — pass2's
+        # when the dual probe ran, pass1's otherwise)
+        self.shared_spectrum2 = (np.asarray(ssp2, np.uint64)
+                                 + np.asarray(ssp2b, np.uint64))
 
     # -- output (comp.cc:185-233, 305-364) --
     def print_main_matrix(self, out) -> None:

@@ -223,3 +223,38 @@ def test_binned_sum_sorted_path_parity(monkeypatch):
         assert got.dtype == np.uint64
     finally:
         counting.kernels_enabled.cache_clear()
+
+
+def test_monotone_packed_sums_parity(monkeypatch):
+    """monotone_packed_sums' shared-sort path (interpret kernels) must
+    equal per-request scatters exactly — including derived bins that
+    repeat across packed runs (the packed key is finer than each derived
+    key, so the epilogue accumulates several runs into one bin)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kat_tpu.core import counting, stats
+
+    monkeypatch.setenv("KAT_TPU_KERNEL", "1")
+    counting.kernels_enabled.cache_clear()
+    monkeypatch.setattr(stats, "BINNED_SORT_MIN", 1)
+    try:
+        rng = np.random.default_rng(7)
+        n = 4111  # unique shape => fresh trace under the patched gate
+        # mimic comp pass 2: two monotone step binnings of one value
+        v = rng.integers(0, 500, size=n)
+        spec = np.minimum(v, 36).astype(np.int32)       # dm = 37
+        col = np.minimum((v + 2) // 3, 28).astype(np.int32)  # d2 = 29
+        packed = jnp.asarray(spec * 29 + col)
+        m0 = jnp.asarray(rng.random(n) < 0.6)
+        m1 = jnp.asarray(rng.random(n) < 0.3)
+        reqs = ((29, 37, 0), (1, 29, 1), (29, 37, 1))
+        got = stats.monotone_packed_sums(packed, 37 + 29 + 8, reqs,
+                                         (m0, m1))
+        for g, (div, mod, mi) in zip(got, reqs):
+            want = stats.mask_bincount(
+                (mod,), (packed // div) % mod, (m0, m1)[mi])
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(want))
+            assert np.asarray(g).dtype == np.uint64
+    finally:
+        counting.kernels_enabled.cache_clear()

@@ -72,7 +72,7 @@ def test_comp_sharded_parity(inputs, mesh_spec):
 
     kw = dict(k=K, d1_bins=101, d2_bins=101, dm_size=101,
               d1_scale=1.0, d2_scale=1.0, canon2=True)
-    (sc1, ssp1, sss1, sss2, smx, _e, _m, _mi), (sc2, ssp2, srow0), _ = \
+    (sc1, ssp1, sss1, sss2, smx, _e, _m, _mi), (sc2, ssp2, srow0, _s2b), _ = \
         comp_sharded(c1, c2, None, canon3=True, **kw)
     w1 = comp_engine.pass1(t1, t2, None, three=False, canon3=True, **kw)
     w2 = comp_engine.pass2(t2, t1, k=K, d2_bins=101, dm_size=101,
@@ -103,7 +103,7 @@ def test_comp_sharded_noncanonical_inputs(inputs):
 
     kw = dict(k=K, d1_bins=101, d2_bins=101, dm_size=101,
               d1_scale=1.0, d2_scale=1.0, canon2=True)
-    (sc1, *_rest1), (sc2, ssp2, srow0), _ = comp_sharded(
+    (sc1, *_rest1), (sc2, ssp2, srow0, _s2b), _ = comp_sharded(
         c1, c2, None, canon3=True, **kw)
     w1 = comp_engine.pass1(t1, t2, None, three=False, canon3=True, **kw)
     w2 = comp_engine.pass2(t2, t1, k=K, d2_bins=101, dm_size=101,
