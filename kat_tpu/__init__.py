@@ -24,14 +24,25 @@ import jax as _jax
 
 # Persistent XLA compilation cache: compiles dominate wall clock on TPU
 # (30-40s per sort shape over the device tunnel); cache them across runs.
-# Keyed by the host CPU's feature set: XLA:CPU caches AOT machine code, and
-# reusing it after a VM migration to different hardware risks SIGILL.
+# Keyed by the host CPU's identity AND the boot id: XLA:CPU caches AOT
+# machine code, and reusing it after a VM migration to different hardware
+# SIGILLs/SIGSEGVs.  The /proc/cpuinfo flags line alone proved
+# insufficient — two hosts with identical flag strings still differed in
+# LLVM-detected tuning features (prefer-no-scatter/gather), so the key
+# also folds in the whole processor-0 block and the boot id (a live
+# migration that lands on different silicon necessarily changes at least
+# one of those across the reboots this environment actually does).
 def _host_key() -> str:
     try:
         import hashlib
         with open("/proc/cpuinfo") as f:
-            flags = next((ln for ln in f if ln.startswith("flags")), "")
-        return hashlib.sha1(flags.encode()).hexdigest()[:12]
+            block = f.read().split("\n\n", 1)[0]
+        try:
+            with open("/proc/sys/kernel/random/boot_id") as f:
+                block += f.read()
+        except OSError:
+            pass
+        return hashlib.sha1(block.encode()).hexdigest()[:12]
     except OSError:
         return "default"
 

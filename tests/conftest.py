@@ -18,14 +18,22 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-# Per-host-CPU cache dir: stale AOT code from a different machine (VM
-# migration) can hang or SIGILL.
+# Per-host-CPU + per-boot cache dir: stale AOT code from a different
+# machine (VM migration) hangs or SIGILLs/SIGSEGVs, and the cpuinfo flags
+# line alone does not distinguish all hosts (LLVM tuning features like
+# prefer-no-scatter differ on hosts with identical flags) — mirror
+# kat_tpu.__init__._host_key.
 def _host_key():
     try:
         import hashlib
         with open("/proc/cpuinfo") as f:
-            flags = next((ln for ln in f if ln.startswith("flags")), "")
-        return hashlib.sha1(flags.encode()).hexdigest()[:12]
+            block = f.read().split("\n\n", 1)[0]
+        try:
+            with open("/proc/sys/kernel/random/boot_id") as f:
+                block += f.read()
+        except OSError:
+            pass
+        return hashlib.sha1(block.encode()).hexdigest()[:12]
     except OSError:
         return "default"
 
