@@ -86,10 +86,31 @@ def pass1(t1, t2, t3, k: int, d1_bins: int, d2_bins: int, dm_size: int,
         "shared_hash2_total": jnp.sum(jnp.where(shared, h2, 0)),
         "shared_distinct": jnp.sum(ws),
     }
-    # spectrum1 and shared_spectrum1 bin the SAME h1 counts — one sort
-    # carries both weight planes (stats.binned_sums)
-    spectrum1, shared_spectrum1 = binned_sums(
-        dm_size, spectrum_bins(h1, dm_size), (w, ws))
+    s1 = _scale_clamp(h1, d1_scale, d1_bins)
+    s2 = _scale_clamp(h2, d2_scale, d2_bins)
+    if d1_scale == 1.0 and d1_bins == dm_size and \
+            d1_bins * d2_bins < 2**31:
+        # Default config: with a unit scale and d1_bins == dm_size,
+        # _scale_clamp and spectrum_bins are the SAME integer function,
+        # so the spectrum bin IS the matrix row — the spectra are the
+        # high-part (monotone) coarsening of the flat matrix key, and
+        # ONE sort carries spectrum1, shared_spectrum1 AND main_mx
+        # (stats.monotone_packed_sums, nested-coarsening requests).
+        packed = s1 * d2_bins + s2
+        spectrum1, shared_spectrum1, mx = monotone_packed_sums(
+            packed, d1_bins * d2_bins,
+            ((d2_bins, dm_size, 0), (d2_bins, dm_size, 1),
+             (1, d1_bins * d2_bins, 0)), (w, ws))
+        main_mx = mx.reshape(d1_bins, d2_bins)
+    else:
+        # spectrum1 and shared_spectrum1 bin the SAME h1 counts — one
+        # sort carries both weight planes (stats.binned_sums)
+        spectrum1, shared_spectrum1 = binned_sums(
+            dm_size, spectrum_bins(h1, dm_size), (w, ws))
+        # s1/s2 are clamped in range, so the 2D count collapses to one
+        # flat binned sum (sort+reduce on TPU, scatter elsewhere)
+        main_mx = binned_sum(d1_bins * d2_bins, s1 * d2_bins + s2,
+                             w).reshape(d1_bins, d2_bins)
     if h2_pre is not None:
         # Under the fused dual probe the shared key set is exactly
         # symmetric (a key is shared iff stored in BOTH tables with a
@@ -100,13 +121,6 @@ def pass1(t1, t2, t3, k: int, d1_bins: int, d2_bins: int, dm_size: int,
         shared_spectrum2 = jnp.zeros((dm_size,), jnp.uint64)
     else:
         shared_spectrum2 = spectrum(h2, ws, dm_size)
-
-    s1 = _scale_clamp(h1, d1_scale, d1_bins)
-    s2 = _scale_clamp(h2, d2_scale, d2_bins)
-    # s1/s2 are clamped in range, so the 2D count collapses to one flat
-    # binned sum (sort+reduce on TPU, scatter elsewhere)
-    main_mx = binned_sum(d1_bins * d2_bins, s1 * d2_bins + s2,
-                         w).reshape(d1_bins, d2_bins)
 
     if three:
         s3 = _scale_clamp(h3, d2_scale, d2_bins)
@@ -173,8 +187,8 @@ def pass2(t2, t1, k: int, d2_bins: int, dm_size: int, d2_scale: float,
         masks = (w, only) + ((shared2,) if want_shared2 else ())
         reqs = ((d2_bins, dm_size, 0), (1, d2_bins, 1)) + (
             ((d2_bins, dm_size, 2),) if want_shared2 else ())
-        outs = monotone_packed_sums(packed, dm_size + d2_bins + 8,
-                                    reqs, masks)
+        outs = monotone_packed_sums(packed, dm_size * d2_bins, reqs, masks,
+                                    runs_cap=dm_size + d2_bins + 8)
         spectrum2, row0 = outs[0], outs[1]
         shared_spectrum2 = (outs[2] if want_shared2
                             else jnp.zeros((dm_size,), jnp.uint64))

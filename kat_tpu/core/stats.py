@@ -74,24 +74,34 @@ def binned_sum(total_bins: int, bins: jax.Array,
     return binned_sums(total_bins, bins, (mask01,))[0]
 
 
-def monotone_packed_sums(packed: jax.Array, runs_cap: int,
-                         requests, masks) -> tuple:
+def monotone_packed_sums(packed: jax.Array, packed_span: int,
+                         requests, masks, runs_cap: int = 0) -> tuple:
     """Several binned 0/1-mask sums that share ONE sort because every
     requested bin index derives from the same packed key:
     ``bin = (packed // div) % mod``.
 
-    The caller guarantees the number of DISTINCT packed values is at most
-    `runs_cap`.  The canonical use is several binnings that are all
-    monotone step functions of one underlying value — e.g. comp pass 2,
-    where the spectrum bin and the scaled matrix column are both monotone
-    in the count h2, so distinct (spectrum_bin, column) pairs never exceed
-    #steps(spectrum) + #steps(column) + 1 <= dm_size + d2_bins.  That tiny
-    bound is what makes the reduce capacity (and its epilogue scatter)
-    negligible next to the sort.
+    Two request shapes, distinguished per request by ``div * mod >=
+    packed_span``:
+
+    - **Nested coarsening** (div * mod >= packed_span): the derived bin is
+      a monotone function of the packed key (it is a high-part division),
+      so the reduce runs keyed on the DERIVED bin directly with capacity
+      mod — e.g. comp pass 1 in the default config, where the spectrum
+      bin equals the matrix row, making the spectrum the high part of the
+      flat matrix key.
+    - **Cross coarsening** (div * mod < packed_span): the derived bin can
+      repeat across packed runs, so the reduce stays keyed on the packed
+      key and the epilogue accumulates runs into bins.  The caller must
+      then bound the number of DISTINCT packed values by `runs_cap` — the
+      canonical use is several binnings that are all monotone step
+      functions of one underlying value (comp pass 2: the spectrum bin
+      and the scaled matrix column are both monotone in the count h2, so
+      distinct (spectrum_bin, column) pairs never exceed
+      #steps(spectrum) + #steps(column) + 1 <= dm_size + d2_bins).
 
     requests: tuple of (div, mod, mask_index).  Returns one uint64 (mod,)
-    array per request.  `packed` must be in [0, 2**32 - 2] (the top value
-    is the sort sentinel).
+    array per request.  `packed` must lie in [0, packed_span) with
+    packed_span <= 2**32 - 1 (the top value is the sort sentinel).
     """
     from .counting import _kernel_interpret, kernels_enabled
 
@@ -110,18 +120,35 @@ def monotone_packed_sums(packed: jax.Array, runs_cap: int,
          *[masks[mi].astype(jnp.uint32) for mi in used]),
         1, interpret=interp)
     reduced = {}
-    for j, mi in enumerate(used):
-        ub, us, _nu = reduce_compact_sorted((planes[0],), planes[1 + j],
-                                            runs_cap, interpret=interp)
-        reduced[mi] = (ub, us)
     outs = []
     for div, mod, mi in requests:
-        ub, us = reduced[mi]
-        # The packed key is finer than any derived bin, so a derived bin
-        # may repeat across runs — the adds accumulate the runs exactly.
-        # Sentinel padding rows derive an in-range bin but carry zero
-        # sums, so they contribute nothing.
-        idx = ((ub // jnp.uint32(div)) % jnp.uint32(mod)).astype(jnp.int32)
+        nested = div * mod >= packed_span
+        if not nested and runs_cap <= 0:
+            raise ValueError("cross-coarsening request needs runs_cap")
+        form = (div if nested else None, mi)
+        if form not in reduced:
+            sw = planes[1 + used.index(mi)]
+            if nested:
+                # packed // div is monotone and < mod, so the reduce can
+                # key on it directly with the tight per-bin capacity
+                key = planes[0] // jnp.uint32(div)
+                cap = mod + 2
+            else:
+                key = planes[0]
+                cap = runs_cap
+            reduced[form] = reduce_compact_sorted((key,), sw, cap,
+                                                  interpret=interp)[:2]
+        ub, us = reduced[form]
+        if nested:
+            # reduce output pads with SENTINEL keys -> int32 -1 -> dropped
+            idx = ub.astype(jnp.int32)
+        else:
+            # A derived bin may repeat across packed runs — the adds
+            # accumulate them exactly.  Sentinel padding rows derive an
+            # in-range bin but carry zero sums, so they contribute
+            # nothing.
+            idx = ((ub // jnp.uint32(div)) % jnp.uint32(mod)).astype(
+                jnp.int32)
         acc = jnp.zeros((mod,), jnp.uint32).at[idx].add(us, mode="drop")
         outs.append(acc.astype(jnp.uint64))
     return tuple(outs)
