@@ -8,6 +8,7 @@ with single scatter-add passes; under a mesh they run per-shard and merge with
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -98,6 +99,11 @@ def monotone_packed_sums(packed: jax.Array, packed_span: int,
       and the scaled matrix column are both monotone in the count h2, so
       distinct (spectrum_bin, column) pairs never exceed
       #steps(spectrum) + #steps(column) + 1 <= dm_size + d2_bins).
+      NOTE: runs_cap is an ANALYTICAL claim by the caller, not a
+      structural guarantee like the nested path's mod.  If it
+      underestimates the true number of distinct packed values, runs are
+      silently truncated and the sums are wrong with no signal.  Set
+      KAT_TPU_CHECK=1 to assert n_unique <= runs_cap at runtime.
 
     requests: tuple of (div, mod, mask_index).  Returns one uint64 (mod,)
     array per request.  `packed` must lie in [0, packed_span) with
@@ -130,14 +136,30 @@ def monotone_packed_sums(packed: jax.Array, packed_span: int,
             sw = planes[1 + used.index(mi)]
             if nested:
                 # packed // div is monotone and < mod, so the reduce can
-                # key on it directly with the tight per-bin capacity
+                # key on it directly with the tight per-bin capacity.
+                # The sort's input padding rows (key SENTINEL=0xFFFFFFFF)
+                # become SENTINEL // div here: still sorts last (packed <
+                # packed_span <= SENTINEL so real keys divide smaller),
+                # still >= mod (div * mod < 2**31 bounds guarantee it),
+                # carries zero weight, and the +2 cap margin absorbs its
+                # run — mode='drop' below discards it.  Stated here so the
+                # deviation from reduce_compact_sorted's all-SENTINEL
+                # padding contract is visible.
                 key = planes[0] // jnp.uint32(div)
                 cap = mod + 2
             else:
                 key = planes[0]
                 cap = runs_cap
-            reduced[form] = reduce_compact_sorted((key,), sw, cap,
-                                                  interpret=interp)[:2]
+            ub, us, nu = reduce_compact_sorted((key,), sw, cap,
+                                               interpret=interp)
+            if (not nested and os.environ.get("KAT_TPU_CHECK") == "1"
+                    and not isinstance(nu, jax.core.Tracer)):
+                # runs_cap is an analytical bound — see docstring hazard
+                if int(nu) > cap:
+                    raise AssertionError(
+                        f"monotone_packed_sums: {int(nu)} distinct packed "
+                        f"runs exceed runs_cap={cap}; sums are truncated")
+            reduced[form] = (ub, us)
         ub, us = reduced[form]
         if nested:
             # reduce output pads with SENTINEL keys -> int32 -1 -> dropped

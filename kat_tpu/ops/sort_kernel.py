@@ -220,6 +220,12 @@ def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
     ps_hi = scal[0, 2]
     S = scal[0, 3]
     nbr = scal[0, 4]  # real block count; blocks >= nbr are VIRTUAL
+    emask = scal[0, 5]  # element-index mask for DIRECTION computation:
+    #                     0x7FFFFFFF for a full sort; chunk_elems-1 for
+    #                     the chunked sort, which makes bit C (C = log2
+    #                     chunk) of every masked index 0, so phase C of
+    #                     each aligned chunk orders ascending and all
+    #                     chunks sort independently ascending.
     #                   (conceptual +inf sentinel blocks that make a
     #                   non-pow2 length bitonic: pairs touching them are
     #                   no-ops and are skipped, and they have no backing
@@ -268,6 +274,7 @@ def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
 
     fi_local = (jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 0) * LANES
                 + jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 1))
+    bmask = emask >> bB  # block-index mask (directions at block level)
 
     q0 = min(STATIC_BUILD_Q, bB)
 
@@ -277,7 +284,7 @@ def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
             # phases 1..q0: static unroll, value-carried — one VMEM
             # load/store per block instead of one per round
             def per_block_static(w, c2):
-                fi_global = blk_id(w) * (br * LANES) + fi_local
+                fi_global = (blk_id(w) * (br * LANES) + fi_local) & emask
                 planes = [blk(p, w) for p in range(n_planes)]
                 for q in range(1, q0 + 1):
                     for r in range(q - 1, -1, -1):
@@ -291,7 +298,7 @@ def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
 
         def per_q(q, carry):
             def per_block(w, c2):
-                fi_global = blk_id(w) * (br * LANES) + fi_local
+                fi_global = (blk_id(w) * (br * LANES) + fi_local) & emask
                 for r in range(bB - 1, -1, -1):
                     @pl.when(r < q)
                     def _round(r=r):
@@ -320,7 +327,7 @@ def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
 
                     @pl.when(blk_id(w2) < nbr)
                     def _pair():
-                        desc = ((blk_id(w1) >> ps) & 1) != 0
+                        desc = (((blk_id(w1) & bmask) >> ps) & 1) != 0
                         v1 = [blk(p, w1) for p in range(n_planes)]
                         v2 = [blk(p, w2) for p in range(n_planes)]
                         lo, hi = _cmpx_blocks(v1, v2, n_key_words)
@@ -338,7 +345,7 @@ def _window_kernel(*refs, n_planes: int, n_key_words: int, br: int,
             def tail(w, c2):
                 @pl.when(blk_id(w) < nbr)
                 def _t():
-                    desc = ((blk_id(w) >> ps) & 1) != 0
+                    desc = (((blk_id(w) & bmask) >> ps) & 1) != 0
                     planes = [blk(p, w) for p in range(n_planes)]
                     planes = _intra_tail(planes, n_key_words, br, desc)
                     for p in range(n_planes):
@@ -470,8 +477,9 @@ def bitonic_sort_planes(planes, n_key_words: int, block_rows: int = 512,
         _window_kernel, n_planes=n_planes, n_key_words=n_key_words,
         br=br, W=W)
 
-    def window_call(arrs, do_build, ps_lo, ps_hi, S=1):
-        scal = jnp.array([[do_build, ps_lo, ps_hi, S, nb]], jnp.int32)
+    def window_call(arrs, do_build, ps_lo, ps_hi, S=1, emask=0x7FFFFFFF):
+        scal = jnp.array([[do_build, ps_lo, ps_hi, S, nb, emask]],
+                         jnp.int32)
         outs = _inplace_call(
             window, (nb // W,), n_planes, n, br,
             (n_planes, W * br, LANES), interpret, n_scalars=1,
@@ -495,6 +503,65 @@ def bitonic_sort_planes(planes, n_key_words: int, block_rows: int = 512,
                 arrs = window_call(arrs, 0, ps, ps, S)
                 T = S // 2
             arrs = window_call(arrs, 0, ps, ps, 1)
+    return tuple(a.reshape(-1) for a in arrs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_key_words", "chunk_elems",
+                                    "block_rows", "interpret"))
+def bitonic_sort_chunks(planes, n_key_words: int, chunk_elems: int,
+                        block_rows: int = 512, interpret: bool = False):
+    """Sort every aligned `chunk_elems` span of the plane list ascending,
+    INDEPENDENTLY, in ONE window-kernel pass.
+
+    This is the device half of the minimizer-bucketed flush
+    (core/minimizer.py): the host router delivers the stream pre-grouped
+    into buckets that are a prefix of the key order, so each chunk only
+    needs bitonic phases up to log2(chunk_elems) — 136 rounds at 2^16 vs
+    a full 2^26 sort's 351 — and because a chunk fits the VMEM window,
+    the whole sort is a single HBM read+write pass.
+
+    Mechanics: phases run 1..C (C = log2 chunk_elems) with the direction
+    index masked to chunk_elems-1 (`emask`), which zeroes bit C of every
+    masked index so each chunk's final phase orders ascending; chunks
+    never straddle windows because chunk blocks divide W.
+
+    Requirements: chunk_elems a pow2 multiple of the block size with
+    chunk_blocks <= W (the picker's window), n a multiple of chunk_elems.
+    """
+    n_planes = len(planes)
+    n = planes[0].shape[0]
+    br = _shrink_br_planes(n_planes, block_rows)
+    while br > 8 and chunk_elems < br * LANES:
+        br //= 2
+    bs = br * LANES
+    if chunk_elems % bs or chunk_elems & (chunk_elems - 1):
+        raise ValueError(
+            f"chunk_elems={chunk_elems} must be a pow2 multiple of {bs}")
+    if n % chunk_elems:
+        raise ValueError(f"n={n} must be a multiple of chunk_elems")
+    nb = n // bs
+    cB = int(np.log2(chunk_elems))
+    bB = int(np.log2(bs))
+
+    W = _pick_window(n_planes, br, nb)
+    if chunk_elems // bs > W:
+        raise ValueError(
+            f"chunk_elems={chunk_elems} exceeds the window ({W} blocks of "
+            f"{bs}) — shrink the chunk or widen the window")
+    window = functools.partial(
+        _window_kernel, n_planes=n_planes, n_key_words=n_key_words,
+        br=br, W=W)
+
+    arrs = [p.reshape(-1, LANES) for p in planes]
+    with jax.enable_x64(False):
+        scal = jnp.array([[1, 1, cB - bB, 1, nb, chunk_elems - 1]],
+                         jnp.int32)
+        outs = _inplace_call(
+            window, ((nb + W - 1) // W,), n_planes, n, br,
+            (n_planes, W * br, LANES), interpret, n_scalars=1,
+            n_sems=W * n_planes)(*arrs, scal)
+        arrs = list(outs[:n_planes])
     return tuple(a.reshape(-1) for a in arrs)
 
 
@@ -537,7 +604,7 @@ def bitonic_final_phase(planes, n_key_words: int, block_rows: int = 512,
             grid = ((nb + W - 1) // W,)
         else:
             grid = (((nb + S * W - 1) // (S * W)) * S,)
-        scal = jnp.array([[0, ps_, ps_, S, nb]], jnp.int32)
+        scal = jnp.array([[0, ps_, ps_, S, nb, 0x7FFFFFFF]], jnp.int32)
         outs = _inplace_call(
             window, grid, n_planes, n, br,
             (n_planes, W * br, LANES), interpret, n_scalars=1,
@@ -606,7 +673,7 @@ def bitonic_merge_runs(planes, n_key_words: int, run_len: int,
         br=br, W=W)
 
     def window_call(arrs, ps_lo, ps_hi, S=1):
-        scal = jnp.array([[0, ps_lo, ps_hi, S, nb]], jnp.int32)
+        scal = jnp.array([[0, ps_lo, ps_hi, S, nb, 0x7FFFFFFF]], jnp.int32)
         outs = _inplace_call(
             window, (nb // W,), n_planes, n, br,
             (n_planes, W * br, LANES), interpret, n_scalars=1,

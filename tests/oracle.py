@@ -58,3 +58,50 @@ def gc_of_packed(v: int, k: int) -> int:
             g += 1
         v >>= 2
     return g
+
+
+# ---------------------------------------------------------------------------
+# Minimizer-bucketed key transform oracle (core/minimizer.py spec), written
+# against the SPEC with plain ints -- no shared code with the device path.
+# The mix constants are part of the on-disk/on-wire spec, so they are the
+# same numbers; everything else (extraction, scanning, packing) is
+# independent.
+# ---------------------------------------------------------------------------
+
+MINI_A = 41474379
+MINI_B = 56006713
+_M26 = (1 << 26) - 1
+
+
+def mix26_oracle(x: int) -> int:
+    x ^= x >> 13
+    x = (x * MINI_A) & _M26
+    x ^= x >> 13
+    x = (x * MINI_B) & _M26
+    x ^= x >> 13
+    return x
+
+
+def minimizer_of(kmer: int, k: int, m: int) -> tuple[int, int, int]:
+    """(min canonical m-mer value, leftmost position, strand) over a
+    packed canonical k-mer; strand=1 iff the canonical m-mer at pos is
+    the rc of the forward substring (m odd, so never equal)."""
+    best, best_pos, best_strand = 1 << 62, 0, 0
+    for j in range(k - m + 1):
+        sub = (kmer >> (2 * (k - j - m))) & ((1 << (2 * m)) - 1)
+        rc = revcomp(sub, m)
+        c = min(sub, rc)
+        if c < best:
+            best, best_pos, best_strand = c, j, 1 if rc < sub else 0
+    return best, best_pos, best_strand
+
+
+def encode_keyp(kmer: int, k: int, m: int) -> int:
+    """key' = [mix26(minimizer) | pos(5) | strand(1) | rest] per spec."""
+    mv, pos, strand = minimizer_of(kmer, k, m)
+    rb = 2 * (k - m)
+    top = kmer >> (2 * (k - pos))          # bases [0, pos)
+    bot_bits = 2 * (k - m - pos)
+    bot = kmer & ((1 << bot_bits) - 1)     # bases [pos+m, k)
+    rest = (top << bot_bits) | bot
+    return (((((mix26_oracle(mv) << 5) | pos) << 1) | strand) << rb) | rest

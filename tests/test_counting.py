@@ -249,8 +249,8 @@ def test_monotone_packed_sums_parity(monkeypatch):
         m0 = jnp.asarray(rng.random(n) < 0.6)
         m1 = jnp.asarray(rng.random(n) < 0.3)
         reqs = ((29, 37, 0), (1, 29, 1), (29, 37, 1))
-        got = stats.monotone_packed_sums(packed, 37 + 29 + 8, reqs,
-                                         (m0, m1))
+        got = stats.monotone_packed_sums(packed, 37 * 29, reqs,
+                                         (m0, m1), runs_cap=37 + 29 + 8)
         for g, (div, mod, mi) in zip(got, reqs):
             want = stats.mask_bincount(
                 (mod,), (packed // div) % mod, (m0, m1)[mi])
