@@ -102,6 +102,16 @@ def get_lib() -> ctypes.CDLL | None:
         lib.kat_fastx_next_codes.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p]
+        lib.kat_smr_open.restype = ctypes.c_void_p
+        lib.kat_smr_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int]
+        lib.kat_smr_close.argtypes = [ctypes.c_void_p]
+        lib.kat_smr_next_flush.restype = ctypes.c_int64
+        lib.kat_smr_next_flush.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -257,6 +267,57 @@ def stream_code_batches(paths: list[str], k: int,
                 yield item
     finally:
         stop.set()
+
+
+class SupermerRouter:
+    """Native minimizer supermer router (the host half of the bucketed
+    counting flush — see core/minimizer.py and native/fastxio.cpp).
+
+    Streams one FASTX(.gz) file and yields per-flush chunk layouts:
+    (records u64 [n_chunks, rec_per_chunk], hot groups [n, 2]
+    (start_chunk, log2_chunks), n_windows)."""
+
+    def __init__(self, path: str, k: int, m: int, bucket_bits: int,
+                 trim5: int = 0):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native fastxio library unavailable")
+        self._lib = lib
+        self._h = lib.kat_smr_open(path.encode(), int(k), int(m),
+                                   int(bucket_bits), int(trim5))
+        if not self._h:
+            raise OSError(
+                f"could not open {path} for supermer routing (k={k}, "
+                f"m={m})")
+
+    def next_flush(self, max_chunks: int, rec_per_chunk: int,
+                   max_groups: int = 64):
+        """One flush worth of routed records, or None at end of input."""
+        chunks = np.empty((max_chunks, rec_per_chunk), np.uint64)
+        groups = np.zeros((max_groups, 2), np.int32)
+        stats = np.zeros((3,), np.int64)
+        n = self._lib.kat_smr_next_flush(
+            self._h, int(max_chunks), int(rec_per_chunk),
+            chunks.ctypes.data_as(ctypes.c_void_p),
+            groups.ctypes.data_as(ctypes.c_void_p), int(max_groups),
+            stats.ctypes.data_as(ctypes.c_void_p))
+        if n < 0:
+            raise RuntimeError("supermer router error (corrupt input?)")
+        if n == 0:
+            return None
+        return (chunks[:n], groups[:int(stats[2])].copy(),
+                int(stats[0]))
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.kat_smr_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def reader_threads_default(n_paths: int) -> int:

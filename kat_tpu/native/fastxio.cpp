@@ -49,6 +49,7 @@
 #include <mutex>
 #include <string>
 #include <thread>
+#include <vector>
 
 namespace {
 
@@ -631,6 +632,293 @@ int64_t kat_fastx_next_codes(void* h, int k, int64_t rows, int64_t row_len,
     if (r->eof && r->pos >= r->len && r->seam_len == 0) break;
   }
   return row;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Minimizer supermer router (the host half of the bucketed counting flush,
+// see kat_tpu/core/minimizer.py).  Parses FASTX through the same Reader
+// machinery, computes canonical minimizers per k-window with a rolling
+// m-mer pair + small ring-buffer sliding minimum, splits reads into
+// supermer records (consecutive windows sharing a minimizer, <= S per
+// record, S = rec_windows(k)), and bins records by the top `bucket_bits`
+// of mix26(minimizer).  kat_smr_next_flush packs whole buckets, in
+// ascending bucket id, into a fixed [n_chunks x rec_per_chunk] u64 chunk
+// layout; buckets larger than one chunk get an ALIGNED power-of-two group
+// of dedicated chunks (reported so the device can run the group-merge
+// phases); leftover buckets carry over to the next flush.
+//
+// Record format (must match core/minimizer.py rec_windows/expand_records):
+//   u64 = [ len (3 bits, 63..61) | bases (2*(k-1+S) bits, left-aligned:
+//   first base at bit 2*(k-1+S)-2..) ]; len = 0 is a padding record.
+//
+// This replaces nothing in the reference (jellyfish hashes unsorted);
+// it is the KMC2 signature-bin idea (PAPERS.md) applied so the device
+// sort runs per chunk instead of globally.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr uint32_t SMR_M26 = (1u << 26) - 1;
+constexpr uint32_t SMR_MIX_A = 41474379u;  // must match core/minimizer.py
+constexpr uint32_t SMR_MIX_B = 56006713u;
+
+inline uint32_t smr_mix26(uint32_t x) {
+  x ^= x >> 13;
+  x = (x * SMR_MIX_A) & SMR_M26;
+  x ^= x >> 13;
+  x = (x * SMR_MIX_B) & SMR_M26;
+  x ^= x >> 13;
+  return x;
+}
+
+struct Smr {
+  Reader* rd = nullptr;
+  int k = 0, m = 0, bucket_bits = 0, S = 0;
+  uint32_t n_buckets = 0;
+
+  // parse buffer
+  static constexpr int64_t ROWS = 16;
+  static constexpr int64_t ROW_LEN = 1 << 16;
+  std::vector<uint8_t> rowbuf;
+  int64_t rows_have = 0, row_i = 0, col_i = 0;
+  bool parse_eof = false;
+
+  // rolling window state (reset at separators / row starts)
+  uint32_t fwd_m = 0, rc_m = 0;  // rolling m-mer pair
+  int64_t valid_run = 0;         // consecutive valid codes ending here
+  // ring of canonical m-mer values for the last (k-m+1) positions
+  uint32_t ring[32];
+  int64_t ring_pos = 0;  // absolute index of next write
+  // current sliding min
+  int64_t min_at = -1;
+  uint32_t min_val = 0;
+  // base history for record packing: last (k-1+S) codes
+  uint8_t hist[64];
+  // current open supermer run
+  int run_len = 0;        // windows in the current record
+  uint32_t run_val = 0;   // its minimizer value
+  uint64_t run_bases = 0; // bases accumulated (k-1+run_len codes, packed)
+
+  // bins
+  std::vector<std::vector<uint64_t>> bins;
+  std::vector<int64_t> bin_windows;
+  int64_t binned_records = 0;
+  int64_t emitted_windows = 0;
+
+  ~Smr() { delete rd; }
+
+  void reset_window_state() {
+    close_run();
+    valid_run = 0;
+    min_at = -1;
+  }
+
+  void close_run() {
+    if (run_len > 0) {
+      int F = 2 * (k - 1 + S);
+      // left-align the k-1+run_len used bases in the F-bit field
+      uint64_t rec = run_bases << (F - 2 * (k - 1 + run_len));
+      rec |= static_cast<uint64_t>(run_len) << 61;
+      uint32_t b = smr_mix26(run_val) >> (26 - bucket_bits);
+      bins[b].push_back(rec);
+      bin_windows[b] += run_len;
+      ++binned_records;
+      emitted_windows += run_len;
+    }
+    run_len = 0;
+  }
+
+  // Feed one code (0..3 valid, >=4 separator/pad).
+  void feed(uint8_t c) {
+    if (c >= 4) {
+      reset_window_state();
+      return;
+    }
+    fwd_m = ((fwd_m << 2) | c) & SMR_M26;
+    rc_m = (rc_m >> 2) | ((3u - c) << (2 * (m - 1)));
+    hist[(ring_pos) & 63] = c;
+    ++valid_run;
+    int64_t p = ring_pos++;  // absolute position of the base just fed
+    if (valid_run < m) return;
+    uint32_t cm = fwd_m < rc_m ? fwd_m : rc_m;
+    ring[p & 31] = cm;
+    // maintain sliding min over m-mer end positions [p-(k-m), p]
+    if (min_at >= 0 && min_at < p - (k - m)) {
+      // expired: rescan the window (<= 17 values).  Ascending q with a
+      // strict < keeps the LEFTMOST position on ties.  Ring slots from
+      // before the current valid streak are stale: the m-mer ending at q
+      // is fresh only if q >= streak_start + m - 1 = p - valid_run + m.
+      min_at = -1;
+      for (int64_t q = p - (k - m); q <= p; ++q) {
+        if (q < p - valid_run + static_cast<int64_t>(m)) continue;
+        uint32_t v = ring[q & 31];
+        if (min_at < 0 || v < min_val) {
+          min_val = v;
+          min_at = q;
+        }
+      }
+    }
+    if (min_at < 0 || cm < min_val) {
+      min_val = cm;
+      min_at = p;
+    }
+    if (valid_run < k) return;
+    // window ENDING at base p is complete; its minimizer value = min_val
+    if (run_len > 0 && run_val == min_val && run_len < S) {
+      ++run_len;
+      run_bases = (run_bases << 2) | c;
+    } else {
+      close_run();
+      // new record starts: its bases are the last k codes
+      run_val = min_val;
+      run_len = 1;
+      run_bases = 0;
+      for (int i = k - 1; i >= 0; --i)
+        run_bases = (run_bases << 2) | hist[(p - i) & 63];
+    }
+  }
+
+  // Parse more input into bins.  Returns false at EOF with nothing fed.
+  bool parse_some() {
+    if (parse_eof) return false;
+    if (row_i >= rows_have) {
+      rows_have = kat_fastx_next_codes(rd, k, ROWS, ROW_LEN,
+                                       rowbuf.data());
+      row_i = 0;
+      col_i = 0;
+      if (rows_have <= 0) {
+        parse_eof = true;
+        close_run();
+        return false;
+      }
+    }
+    // one row per call keeps the caller's pacing granular
+    const uint8_t* row = rowbuf.data() + row_i * ROW_LEN;
+    reset_window_state();  // rows re-establish context via the seam
+    for (int64_t i = 0; i < ROW_LEN; ++i) feed(row[i]);
+    close_run();
+    ++row_i;
+    return true;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* kat_smr_open(const char* path, int k, int m, int bucket_bits,
+                   int trim5) {
+  if (k <= m || k > m + 16 || m < 3 || m > 15 || (m % 2) == 0) return nullptr;
+  int S = (64 - 3) / 2 - (k - 1);
+  if (S > 7) S = 7;
+  if (S < 1) return nullptr;
+  if (bucket_bits < 1 || bucket_bits > 16) return nullptr;
+  void* rd = kat_fastx_open(path, trim5);
+  if (!rd) return nullptr;
+  Smr* s = new Smr();
+  s->rd = static_cast<Reader*>(rd);
+  s->k = k;
+  s->m = m;
+  s->S = S;
+  s->bucket_bits = bucket_bits;
+  s->n_buckets = 1u << bucket_bits;
+  s->bins.resize(s->n_buckets);
+  s->bin_windows.assign(s->n_buckets, 0);
+  s->rowbuf.resize(Smr::ROWS * Smr::ROW_LEN);
+  return s;
+}
+
+void kat_smr_close(void* h) { delete static_cast<Smr*>(h); }
+
+// Pack up to max_chunks chunks of rec_per_chunk u64 records.
+//   chunks_out: [max_chunks * rec_per_chunk] u64, caller-allocated; padding
+//     records are written as 0.
+//   groups_out: [2 * max_groups] int32 (start_chunk, log2_size) pairs for
+//     hot buckets spanning >1 chunk (device must merge those chunk runs).
+//   stats_out:  [0]=n_windows packed, [1]=n_records packed, [2]=n_groups.
+// Returns the number of chunks filled; 0 when input is exhausted AND all
+// bins are empty.  -1 on reader error.
+int64_t kat_smr_next_flush(void* h, int64_t max_chunks,
+                           int64_t rec_per_chunk, uint64_t* chunks_out,
+                           int32_t* groups_out, int64_t max_groups,
+                           int64_t* stats_out) {
+  Smr* s = static_cast<Smr*>(h);
+  if (!s || max_chunks < 1 || rec_per_chunk < 1) return -1;
+  // accumulate until we can fill the chunk budget (with packing margin)
+  int64_t target = max_chunks * rec_per_chunk * 9 / 10;
+  while (s->binned_records < target) {
+    if (!s->parse_some()) break;
+    if (s->rd->terr) return -1;
+  }
+  if (s->binned_records == 0) return 0;
+
+  std::memset(chunks_out, 0,
+              sizeof(uint64_t) * max_chunks * rec_per_chunk);
+  int64_t chunk = 0;    // next chunk with free space
+  int64_t used = 0;     // records used in `chunk`
+  int64_t n_groups = 0;
+  int64_t packed_windows = 0, packed_records = 0;
+  for (uint32_t b = 0; b < s->n_buckets; ++b) {
+    std::vector<uint64_t>& bin = s->bins[b];
+    if (bin.empty()) continue;
+    int64_t need = static_cast<int64_t>(bin.size());
+    if (need <= rec_per_chunk) {
+      if (used + need > rec_per_chunk) {  // start a fresh chunk
+        ++chunk;
+        used = 0;
+      }
+      if (chunk >= max_chunks) break;
+      std::memcpy(chunks_out + chunk * rec_per_chunk + used, bin.data(),
+                  sizeof(uint64_t) * need);
+      used += need;
+      packed_records += need;
+      packed_windows += s->bin_windows[b];
+      s->bin_windows[b] = 0;
+      bin.clear();
+      bin.shrink_to_fit();
+      continue;
+    }
+    // hot bucket: dedicated ALIGNED pow2 group of chunks
+    int64_t g = 1;
+    while (g * rec_per_chunk < need && g < max_chunks) g <<= 1;
+    if (used > 0) {  // current chunk is partially filled: close it
+      ++chunk;
+      used = 0;
+    }
+    int64_t start = ((chunk + g - 1) / g) * g;  // align to group size
+    while (g > 1 && start + g > max_chunks) {
+      g >>= 1;  // emit only part of the bucket this flush
+      start = ((chunk + g - 1) / g) * g;
+    }
+    if (start + g > max_chunks) break;  // no room at all: defer bucket
+    int64_t take = need < g * rec_per_chunk ? need : g * rec_per_chunk;
+    std::memcpy(chunks_out + start * rec_per_chunk,
+                bin.data() + (need - take), sizeof(uint64_t) * take);
+    // window accounting: recompute from the records taken
+    int64_t wtaken = 0;
+    for (int64_t i = need - take; i < need; ++i)
+      wtaken += static_cast<int64_t>(bin[i] >> 61);
+    bin.resize(need - take);
+    s->bin_windows[b] -= wtaken;
+    packed_records += take;
+    packed_windows += wtaken;
+    if (g > 1 && n_groups < max_groups) {
+      groups_out[2 * n_groups] = static_cast<int32_t>(start);
+      groups_out[2 * n_groups + 1] = static_cast<int32_t>(
+          __builtin_ctzll(static_cast<unsigned long long>(g)));
+      ++n_groups;
+    }
+    chunk = start + g;
+    used = 0;
+  }
+  s->binned_records -= packed_records;
+  stats_out[0] = packed_windows;
+  stats_out[1] = packed_records;
+  stats_out[2] = n_groups;
+  int64_t n_chunks = chunk + (used > 0 ? 1 : 0);
+  return n_chunks;
 }
 
 }  // extern "C"

@@ -1,0 +1,153 @@
+"""Native supermer router (kat_smr_*) parity vs the pure-python oracle:
+window multisets, per-record minimizer invariants, bucket-ordered chunk
+layout, and hot-bucket group reporting."""
+
+import numpy as np
+import pytest
+
+import oracle
+from kat_tpu.core import minimizer
+from kat_tpu.io import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+K, M, BB = 27, 13, 6  # 64 buckets keep the test layout small
+
+
+def _write_fastq(tmp_path, seqs, name="r.fastq"):
+    p = tmp_path / name
+    with open(p, "wb") as f:
+        for i, s in enumerate(seqs):
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, s.encode(), b"I" * len(s)))
+    return str(p)
+
+
+def _decode_record(rec: int, k: int):
+    """u64 record -> list of packed canonical windows."""
+    S = minimizer.rec_windows(k)
+    F = 2 * (k - 1 + S)
+    ln = rec >> 61
+    bases = rec & ((1 << 61) - 1)
+    out = []
+    for j in range(ln):
+        w = (bases >> (F - 2 * (k + j))) & ((1 << (2 * k)) - 1)
+        out.append(min(w, oracle.revcomp(w, k)))
+    return out
+
+
+def _route_all(path, max_chunks=64, rec_per_chunk=64):
+    flushes = []
+    with native.SupermerRouter(path, K, M, BB) as r:
+        while True:
+            fl = r.next_flush(max_chunks, rec_per_chunk)
+            if fl is None:
+                break
+            flushes.append(fl)
+    return flushes
+
+
+def test_windows_match_oracle(tmp_path):
+    rng = np.random.default_rng(1)
+    seqs = ["".join("ACGT"[c] for c in rng.integers(0, 4, size=ln))
+            for ln in [150, 80, 27, 26, 300, 150]]
+    # inject Ns: windows covering them disappear
+    seqs[0] = seqs[0][:50] + "N" + seqs[0][51:]
+    path = _write_fastq(tmp_path, seqs)
+    from collections import Counter
+    want = oracle.count_seqs(seqs, K, canonical=True)
+    got: Counter = Counter()
+    for chunks, groups, n_windows in _route_all(path):
+        n = 0
+        for rec in chunks.reshape(-1).tolist():
+            ws = _decode_record(int(rec), K)
+            got.update(ws)
+            n += len(ws)
+        assert n == n_windows
+    assert got == want
+
+
+def test_record_invariants(tmp_path):
+    rng = np.random.default_rng(2)
+    seqs = ["".join("ACGT"[c] for c in rng.integers(0, 4, size=200))
+            for _ in range(10)]
+    path = _write_fastq(tmp_path, seqs)
+    S = minimizer.rec_windows(K)
+    for chunks, groups, _ in _route_all(path):
+        group_chunks = set()
+        for gs, gl in groups.tolist():
+            group_chunks.update(range(gs, gs + (1 << gl)))
+        for ci, row in enumerate(chunks):
+            buckets_here = []
+            for rec in row.tolist():
+                rec = int(rec)
+                ws = _decode_record(rec, K)
+                if not ws:
+                    continue
+                assert len(ws) <= S
+                mins = {oracle.minimizer_of(w, K, M)[0] for w in ws}
+                assert len(mins) == 1  # one minimizer per supermer
+                b = oracle.mix26_oracle(mins.pop()) >> (26 - BB)
+                buckets_here.append(b)
+            # within a chunk, bucket ids are grouped (non-decreasing)
+            if ci not in group_chunks:
+                assert buckets_here == sorted(buckets_here)
+
+
+def test_bucket_order_across_chunks(tmp_path):
+    rng = np.random.default_rng(3)
+    seqs = ["".join("ACGT"[c] for c in rng.integers(0, 4, size=250))
+            for _ in range(40)]
+    path = _write_fastq(tmp_path, seqs)
+    for chunks, groups, _ in _route_all(path, max_chunks=32,
+                                        rec_per_chunk=32):
+        group_chunks = set()
+        for gs, gl in groups.tolist():
+            group_chunks.update(range(gs, gs + (1 << gl)))
+        last_b = -1
+        for ci, row in enumerate(chunks):
+            if ci in group_chunks:
+                continue
+            for rec in row.tolist():
+                ws = _decode_record(int(rec), K)
+                if not ws:
+                    continue
+                b = oracle.mix26_oracle(
+                    oracle.minimizer_of(ws[0], K, M)[0]) >> (26 - BB)
+                assert b >= last_b
+                last_b = b
+
+
+def test_hot_bucket_gets_aligned_group(tmp_path):
+    # poly-A reads all share one minimizer -> one hot bucket
+    seqs = ["A" * 400] * 60
+    path = _write_fastq(tmp_path, seqs)
+    flushes = _route_all(path, max_chunks=16, rec_per_chunk=16)
+    total = 0
+    saw_group = False
+    for chunks, groups, n_windows in flushes:
+        total += n_windows
+        for gs, gl in groups.tolist():
+            saw_group = True
+            assert gs % (1 << gl) == 0  # aligned
+    assert saw_group
+    assert total == sum(len(s) - K + 1 for s in seqs)
+
+
+def test_gz_input(tmp_path):
+    import gzip
+
+    rng = np.random.default_rng(5)
+    seqs = ["".join("ACGT"[c] for c in rng.integers(0, 4, size=120))
+            for _ in range(8)]
+    p = tmp_path / "r.fastq.gz"
+    with gzip.open(p, "wb") as f:
+        for i, s in enumerate(seqs):
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, s.encode(), b"I" * len(s)))
+    from collections import Counter
+    want = oracle.count_seqs(seqs, K, canonical=True)
+    got: Counter = Counter()
+    for chunks, _, _ in _route_all(str(p)):
+        for rec in chunks.reshape(-1).tolist():
+            got.update(_decode_record(int(rec), K))
+    assert got == want
