@@ -297,11 +297,13 @@ def decode_keys(khi, klo, k: int, m: int = M_DEFAULT):
 
 
 def rec_windows(k: int) -> int:
-    """Max windows per u64 supermer record: 2*(k-1+S) + 3 <= 64."""
+    """Windows per u64 supermer record: the largest POWER OF TWO S with
+    2*(k-1+S) + 3 <= 64 (pow2 so chunk_slots = rec_per_chunk * S stays a
+    power of two for the chunked sort geometry); len field is 3 bits."""
     s = (64 - 3) // 2 - (k - 1)
     if s < 1:
         raise ValueError(f"k={k} too large for u64 supermer records")
-    return min(s, 7)  # len field is 3 bits
+    return 4 if s >= 4 else (2 if s >= 2 else 1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "m", "canonical"))

@@ -811,8 +811,10 @@ extern "C" {
 void* kat_smr_open(const char* path, int k, int m, int bucket_bits,
                    int trim5) {
   if (k <= m || k > m + 16 || m < 3 || m > 15 || (m % 2) == 0) return nullptr;
+  // largest POW2 S with 2*(k-1+S)+3 <= 64 (must match
+  // core/minimizer.py rec_windows: pow2 keeps chunk_slots pow2)
   int S = (64 - 3) / 2 - (k - 1);
-  if (S > 7) S = 7;
+  S = S >= 4 ? 4 : (S >= 2 ? 2 : 1);
   if (S < 1) return nullptr;
   if (bucket_bits < 1 || bucket_bits > 16) return nullptr;
   void* rd = kat_fastx_open(path, trim5);

@@ -1,0 +1,100 @@
+"""End-to-end bucketed counting (router -> chunked sort -> reduce ->
+table merge -> decode) vs the pure-python oracle, interpret-mode kernels
+on tiny chunk geometry."""
+
+import numpy as np
+import pytest
+
+import oracle
+from kat_tpu.core import bucketed, minimizer
+from kat_tpu.core.counting import table_to_numpy
+from kat_tpu.io import native
+
+pytestmark = [
+    pytest.mark.kernel_interpret,
+    pytest.mark.skipif(not native.available(),
+                       reason="native library unavailable"),
+]
+
+
+def _write_fastq(tmp_path, seqs, name="r.fastq"):
+    p = tmp_path / name
+    with open(p, "wb") as f:
+        for i, s in enumerate(seqs):
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, s.encode(), b"I" * len(s)))
+    return str(p)
+
+
+def _check_counts(table, seqs, k):
+    keys, counts = table_to_numpy(table)
+    got = dict(zip(keys.tolist(), counts.tolist()))
+    want = oracle.count_seqs(seqs, k, canonical=True)
+    assert got == dict(want)
+    assert np.all(np.diff(keys.astype(object)) > 0)  # sorted, unique
+
+
+@pytest.mark.parametrize("k", [17, 27])
+def test_count_paths_bucketed_matches_oracle(tmp_path, k):
+    rng = np.random.default_rng(k)
+    # overlapping reads from a small genome -> real multiplicities
+    genome = "".join("ACGT"[c] for c in rng.integers(0, 4, size=800))
+    seqs = []
+    for _ in range(120):
+        off = int(rng.integers(0, len(genome) - 100))
+        seqs.append(genome[off:off + 100])
+    seqs[3] = seqs[3][:40] + "N" + seqs[3][41:]  # invalid-base handling
+    path = _write_fastq(tmp_path, seqs)
+    S = minimizer.rec_windows(k)
+    table = bucketed.count_paths_bucketed(
+        [path], k, max_chunks=8, rec_per_chunk=1024 // S,
+        bucket_bits=6, initial_capacity=1 << 13)
+    _check_counts(table, seqs, k)
+
+
+def test_hot_bucket_group_merge(tmp_path):
+    # poly-A floods one bucket -> multi-chunk group -> device group merge
+    k = 27
+    rng = np.random.default_rng(9)
+    seqs = ["A" * 300] * 30
+    seqs += ["".join("ACGT"[c] for c in rng.integers(0, 4, size=120))
+             for _ in range(20)]
+    path = _write_fastq(tmp_path, seqs)
+    S = minimizer.rec_windows(k)
+    table = bucketed.count_paths_bucketed(
+        [path], k, max_chunks=8, rec_per_chunk=1024 // S,
+        bucket_bits=6, initial_capacity=1 << 13)
+    _check_counts(table, seqs, k)
+
+
+def test_capacity_growth(tmp_path):
+    k = 27
+    rng = np.random.default_rng(4)
+    seqs = ["".join("ACGT"[c] for c in rng.integers(0, 4, size=120))
+            for _ in range(60)]
+    path = _write_fastq(tmp_path, seqs)
+    S = minimizer.rec_windows(k)
+    # tiny initial capacity forces the deferred-overflow replay path
+    table = bucketed.count_paths_bucketed(
+        [path], k, max_chunks=8, rec_per_chunk=1024 // S,
+        bucket_bits=6, initial_capacity=1 << 9)
+    _check_counts(table, seqs, k)
+
+
+def test_hist_cli_minimizer_parity(tmp_path, monkeypatch):
+    """`kat hist` byte-parity: classic flush vs the minimizer-bucketed
+    flush on the same input."""
+    from kat_tpu import cli
+
+    rng = np.random.default_rng(21)
+    genome = "".join("ACGT"[c] for c in rng.integers(0, 4, size=600))
+    seqs = [genome[int(rng.integers(0, 500)):][:90] for _ in range(80)]
+    path = _write_fastq(tmp_path, seqs)
+
+    out1 = tmp_path / "classic"
+    monkeypatch.setenv("KAT_TPU_MINIMIZER", "0")
+    cli.main(["hist", "-m", "27", "-o", str(out1), "-p", "none", path])
+    out2 = tmp_path / "mini"
+    monkeypatch.setenv("KAT_TPU_MINIMIZER", "1")
+    monkeypatch.setenv("KAT_TPU_SMR_CHUNKS", "8")
+    cli.main(["hist", "-m", "27", "-o", str(out2), "-p", "none", path])
+    assert out1.read_bytes() == out2.read_bytes()
