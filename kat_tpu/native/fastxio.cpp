@@ -685,22 +685,6 @@ struct Smr {
   int64_t rows_have = 0, row_i = 0, col_i = 0;
   bool parse_eof = false;
 
-  // rolling window state (reset at separators / row starts)
-  uint32_t fwd_m = 0, rc_m = 0;  // rolling m-mer pair
-  int64_t valid_run = 0;         // consecutive valid codes ending here
-  // ring of canonical m-mer values for the last (k-m+1) positions
-  uint32_t ring[32];
-  int64_t ring_pos = 0;  // absolute index of next write
-  // current sliding min
-  int64_t min_at = -1;
-  uint32_t min_val = 0;
-  // base history for record packing: last (k-1+S) codes
-  uint8_t hist[64];
-  // current open supermer run
-  int run_len = 0;        // windows in the current record
-  uint32_t run_val = 0;   // its minimizer value
-  uint64_t run_bases = 0; // bases accumulated (k-1+run_len codes, packed)
-
   // bins
   std::vector<std::vector<uint64_t>> bins;
   std::vector<int64_t> bin_windows;
@@ -709,75 +693,92 @@ struct Smr {
 
   ~Smr() { delete rd; }
 
-  void reset_window_state() {
-    close_run();
-    valid_run = 0;
-    min_at = -1;
-  }
+  // Process one code row.  ALL rolling state is row-local (rows
+  // re-establish context through the reader's (k-1) seam, so supermer
+  // runs may split at row boundaries — correctness is unaffected, and
+  // keeping the state in registers instead of struct fields is what
+  // makes the scan run at memory speed).
+  void feed_row(const uint8_t* row, int64_t n) {
+    const int kk = k, mm = m, SS = S;
+    const int F = 2 * (kk - 1 + SS);
+    const int rc_sh = 2 * (mm - 1);
+    const int bsh = 26 - bucket_bits;
+    uint32_t fwd_m = 0, rc_m = 0;
+    int64_t valid_run = 0;
+    uint32_t ring[32];
+    uint8_t hist[64];
+    int64_t min_at = -1;
+    uint32_t min_val = 0;
+    int run_len = 0;
+    uint32_t run_val = 0;
+    uint64_t run_bases = 0;
+    int64_t n_recs = 0, n_wins = 0;
 
-  void close_run() {
-    if (run_len > 0) {
-      int F = 2 * (k - 1 + S);
-      // left-align the k-1+run_len used bases in the F-bit field
-      uint64_t rec = run_bases << (F - 2 * (k - 1 + run_len));
-      rec |= static_cast<uint64_t>(run_len) << 61;
-      uint32_t b = smr_mix26(run_val) >> (26 - bucket_bits);
-      bins[b].push_back(rec);
-      bin_windows[b] += run_len;
-      ++binned_records;
-      emitted_windows += run_len;
-    }
-    run_len = 0;
-  }
+    auto close_run = [&]() {
+      if (run_len > 0) {
+        uint64_t rec = run_bases << (F - 2 * (kk - 1 + run_len));
+        rec |= static_cast<uint64_t>(run_len) << 61;
+        uint32_t b = smr_mix26(run_val) >> bsh;
+        bins[b].push_back(rec);
+        bin_windows[b] += run_len;
+        ++n_recs;
+        n_wins += run_len;
+      }
+      run_len = 0;
+    };
 
-  // Feed one code (0..3 valid, >=4 separator/pad).
-  void feed(uint8_t c) {
-    if (c >= 4) {
-      reset_window_state();
-      return;
-    }
-    fwd_m = ((fwd_m << 2) | c) & SMR_M26;
-    rc_m = (rc_m >> 2) | ((3u - c) << (2 * (m - 1)));
-    hist[(ring_pos) & 63] = c;
-    ++valid_run;
-    int64_t p = ring_pos++;  // absolute position of the base just fed
-    if (valid_run < m) return;
-    uint32_t cm = fwd_m < rc_m ? fwd_m : rc_m;
-    ring[p & 31] = cm;
-    // maintain sliding min over m-mer end positions [p-(k-m), p]
-    if (min_at >= 0 && min_at < p - (k - m)) {
-      // expired: rescan the window (<= 17 values).  Ascending q with a
-      // strict < keeps the LEFTMOST position on ties.  Ring slots from
-      // before the current valid streak are stale: the m-mer ending at q
-      // is fresh only if q >= streak_start + m - 1 = p - valid_run + m.
-      min_at = -1;
-      for (int64_t q = p - (k - m); q <= p; ++q) {
-        if (q < p - valid_run + static_cast<int64_t>(m)) continue;
-        uint32_t v = ring[q & 31];
-        if (min_at < 0 || v < min_val) {
-          min_val = v;
-          min_at = q;
+    for (int64_t i = 0; i < n; ++i) {
+      uint8_t c = row[i];
+      if (c >= 4) {
+        close_run();
+        valid_run = 0;
+        min_at = -1;
+        continue;
+      }
+      fwd_m = ((fwd_m << 2) | c) & SMR_M26;
+      rc_m = (rc_m >> 2) | ((3u - c) << rc_sh);
+      hist[i & 63] = c;
+      ++valid_run;
+      if (valid_run < mm) continue;
+      uint32_t cm = fwd_m < rc_m ? fwd_m : rc_m;
+      ring[i & 31] = cm;
+      // sliding min over m-mer end positions [i-(k-m), i]
+      if (min_at >= 0 && min_at < i - (kk - mm)) {
+        // expired: rescan (<= 17 values; ascending q + strict < keeps
+        // the leftmost tie).  Slots from before this valid streak are
+        // stale: fresh only when q >= i - valid_run + m.
+        min_at = -1;
+        int64_t q0 = i - (kk - mm);
+        int64_t fresh = i - valid_run + mm;
+        if (q0 < fresh) q0 = fresh;
+        for (int64_t q = q0; q <= i; ++q) {
+          uint32_t v = ring[q & 31];
+          if (min_at < 0 || v < min_val) {
+            min_val = v;
+            min_at = q;
+          }
         }
       }
+      if (min_at < 0 || cm < min_val) {
+        min_val = cm;
+        min_at = i;
+      }
+      if (valid_run < kk) continue;
+      if (run_len > 0 && run_val == min_val && run_len < SS) {
+        ++run_len;
+        run_bases = (run_bases << 2) | c;
+      } else {
+        close_run();
+        run_val = min_val;
+        run_len = 1;
+        run_bases = 0;
+        for (int j = kk - 1; j >= 0; --j)
+          run_bases = (run_bases << 2) | hist[(i - j) & 63];
+      }
     }
-    if (min_at < 0 || cm < min_val) {
-      min_val = cm;
-      min_at = p;
-    }
-    if (valid_run < k) return;
-    // window ENDING at base p is complete; its minimizer value = min_val
-    if (run_len > 0 && run_val == min_val && run_len < S) {
-      ++run_len;
-      run_bases = (run_bases << 2) | c;
-    } else {
-      close_run();
-      // new record starts: its bases are the last k codes
-      run_val = min_val;
-      run_len = 1;
-      run_bases = 0;
-      for (int i = k - 1; i >= 0; --i)
-        run_bases = (run_bases << 2) | hist[(p - i) & 63];
-    }
+    close_run();
+    binned_records += n_recs;
+    emitted_windows += n_wins;
   }
 
   // Parse more input into bins.  Returns false at EOF with nothing fed.
@@ -790,15 +791,11 @@ struct Smr {
       col_i = 0;
       if (rows_have <= 0) {
         parse_eof = true;
-        close_run();
         return false;
       }
     }
     // one row per call keeps the caller's pacing granular
-    const uint8_t* row = rowbuf.data() + row_i * ROW_LEN;
-    reset_window_state();  // rows re-establish context via the seam
-    for (int64_t i = 0; i < ROW_LEN; ++i) feed(row[i]);
-    close_run();
+    feed_row(rowbuf.data() + row_i * ROW_LEN, ROW_LEN);
     ++row_i;
     return true;
   }
@@ -848,8 +845,9 @@ int64_t kat_smr_next_flush(void* h, int64_t max_chunks,
                            int64_t* stats_out) {
   Smr* s = static_cast<Smr*>(h);
   if (!s || max_chunks < 1 || rec_per_chunk < 1) return -1;
-  // accumulate until we can fill the chunk budget (with packing margin)
-  int64_t target = max_chunks * rec_per_chunk * 9 / 10;
+  // accumulate a little past the chunk budget so packing can FILL it;
+  // whatever does not fit carries over to the next flush
+  int64_t target = max_chunks * rec_per_chunk * 21 / 20;
   while (s->binned_records < target) {
     if (!s->parse_some()) break;
     if (s->rd->terr) return -1;
