@@ -106,6 +106,10 @@ def get_lib() -> ctypes.CDLL | None:
         lib.kat_smr_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                      ctypes.c_int, ctypes.c_int,
                                      ctypes.c_int]
+        lib.kat_smr_open_range.restype = ctypes.c_void_p
+        lib.kat_smr_open_range.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int64]
         lib.kat_smr_close.argtypes = [ctypes.c_void_p]
         lib.kat_smr_next_flush.restype = ctypes.c_int64
         lib.kat_smr_next_flush.argtypes = [
@@ -278,13 +282,18 @@ class SupermerRouter:
     (start_chunk, log2_chunks), n_windows)."""
 
     def __init__(self, path: str, k: int, m: int, bucket_bits: int,
-                 trim5: int = 0):
+                 trim5: int = 0, byte_range: tuple | None = None):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native fastxio library unavailable")
         self._lib = lib
-        self._h = lib.kat_smr_open(path.encode(), int(k), int(m),
-                                   int(bucket_bits), int(trim5))
+        if byte_range is not None:
+            self._h = lib.kat_smr_open_range(
+                path.encode(), int(k), int(m), int(bucket_bits),
+                int(trim5), int(byte_range[0]), int(byte_range[1]))
+        else:
+            self._h = lib.kat_smr_open(path.encode(), int(k), int(m),
+                                       int(bucket_bits), int(trim5))
         if not self._h:
             raise OSError(
                 f"could not open {path} for supermer routing (k={k}, "
@@ -318,6 +327,97 @@ class SupermerRouter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def route_flushes(paths: list[str], k: int, m: int, bucket_bits: int,
+                  max_chunks: int, rec_per_chunk: int,
+                  trim5: list[int] | None = None, threads: int = 1):
+    """Yield supermer flush tuples (chunks, groups, n_windows) across
+    files, routed by up to `threads` parallel workers.
+
+    Large PLAIN files split into record-aligned byte ranges (each range
+    gets its own router — flushes from different workers merge through
+    the count table like any other flush, so no bin merging is needed);
+    gz files stay whole.  GIL released during native parse+route, so
+    workers genuinely parallelize.  Flush ORDER interleaves; counting is
+    order-independent."""
+    import queue
+
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native fastxio library unavailable")
+    trims = _trims_for(paths, trim5)
+    threads = max(1, int(threads))
+    items = _work_items(lib, paths, trims, threads)
+    threads = min(threads, len(items))
+
+    def open_item(item):
+        path, trim, start, end, kind = item
+        if kind == "range":
+            return SupermerRouter(path, k, m, bucket_bits, trim5=trim,
+                                  byte_range=(start, end))
+        return SupermerRouter(path, k, m, bucket_bits, trim5=trim)
+
+    if threads == 1:
+        for item in items:
+            with open_item(item) as r:
+                while True:
+                    fl = r.next_flush(max_chunks, rec_per_chunk)
+                    if fl is None:
+                        break
+                    yield fl
+        return
+
+    q: queue.Queue = queue.Queue(maxsize=threads + 1)
+    work = iter(items)
+    work_lock = threading.Lock()
+    stop = threading.Event()
+
+    def _put(obj) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(obj, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker() -> None:
+        try:
+            while not stop.is_set():
+                with work_lock:
+                    item = next(work, None)
+                if item is None:
+                    break
+                with open_item(item) as r:
+                    while not stop.is_set():
+                        fl = r.next_flush(max_chunks, rec_per_chunk)
+                        if fl is None:
+                            break
+                        if not _put(fl):
+                            return
+        except BaseException as e:  # noqa: BLE001 — re-raised at consumer
+            _put(e)
+        finally:
+            _put(None)
+
+    workers = [threading.Thread(target=worker, daemon=True,
+                                name=f"kat-tpu-router-{i}")
+               for i in range(threads)]
+    for t in workers:
+        t.start()
+    live = threads
+    try:
+        while live:
+            item = q.get()
+            if item is None:
+                live -= 1
+            elif isinstance(item, BaseException):
+                raise item
+            else:
+                yield item
+    finally:
+        stop.set()
 
 
 def reader_threads_default(n_paths: int) -> int:

@@ -831,17 +831,17 @@ struct Smr {
 
 extern "C" {
 
-void* kat_smr_open(const char* path, int k, int m, int bucket_bits,
-                   int trim5) {
-  if (k <= m || k > m + 16 || m < 3 || m > 15 || (m % 2) == 0) return nullptr;
+static void* smr_open_common(void* rd, int k, int m, int bucket_bits) {
+  if (!rd) return nullptr;
   // largest POW2 S with 2*(k-1+S)+3 <= 64 (must match
   // core/minimizer.py rec_windows: pow2 keeps chunk_slots pow2)
   int S = (64 - 3) / 2 - (k - 1);
   S = S >= 4 ? 4 : (S >= 2 ? 2 : 1);
-  if (S < 1) return nullptr;
-  if (bucket_bits < 1 || bucket_bits > 16) return nullptr;
-  void* rd = kat_fastx_open(path, trim5);
-  if (!rd) return nullptr;
+  if (k <= m || k > m + 16 || m < 3 || m > 15 || (m % 2) == 0 ||
+      S < 1 || bucket_bits < 1 || bucket_bits > 16) {
+    kat_fastx_close(rd);
+    return nullptr;
+  }
   Smr* s = new Smr();
   s->rd = static_cast<Reader*>(rd);
   s->k = k;
@@ -855,6 +855,21 @@ void* kat_smr_open(const char* path, int k, int m, int bucket_bits,
   s->stg_n.assign(s->n_buckets, 0);
   s->rowbuf.resize(Smr::ROWS * Smr::ROW_LEN);
   return s;
+}
+
+void* kat_smr_open(const char* path, int k, int m, int bucket_bits,
+                   int trim5) {
+  return smr_open_common(kat_fastx_open(path, trim5), k, m, bucket_bits);
+}
+
+// Range variant: routes only the records whose header byte lies in
+// [start, end) of a PLAIN file (kat_fastx_open_range semantics) — the
+// byte-level split that lets N independent routers share one file; each
+// router's flushes merge through the count table like any other flush.
+void* kat_smr_open_range(const char* path, int k, int m, int bucket_bits,
+                         int trim5, int64_t start, int64_t end) {
+  return smr_open_common(kat_fastx_open_range(path, trim5, start, end),
+                         k, m, bucket_bits);
 }
 
 void kat_smr_close(void* h) { delete static_cast<Smr*>(h); }
