@@ -164,7 +164,8 @@ def _trims_for(paths: list[str], trim5: list[int] | None) -> list[int]:
     return trims
 
 
-def _work_items(lib, paths, trims, threads: int) -> list[tuple]:
+def _work_items(lib, paths, trims, threads: int,
+                range_chunk: int = RANGE_CHUNK) -> list[tuple]:
     """(path, trim, start, end, kind) pieces.  Large plain files split
     into record-aligned byte ranges (finer than the thread count for
     load balance); gz files stay whole but inflate on a native producer
@@ -175,7 +176,7 @@ def _work_items(lib, paths, trims, threads: int) -> list[tuple]:
         kind = lib.kat_fastx_sniff(path.encode())
         if kind in (1, 2) and threads > 1:
             size = os.path.getsize(path)
-            n = min(threads * 2, max(1, size // RANGE_CHUNK))
+            n = min(threads * 2, max(1, size // range_chunk))
             if n > 1:
                 step = -(-size // n)
                 for s in range(0, size, step):
@@ -348,7 +349,26 @@ def route_flushes(paths: list[str], k: int, m: int, bucket_bits: int,
         raise RuntimeError("native fastxio library unavailable")
     trims = _trims_for(paths, trim5)
     threads = max(1, int(threads))
-    items = _work_items(lib, paths, trims, threads)
+    # Exactly ONE range per worker (not the reader's threads*2 finer
+    # split): each worker owns a router whose bins accumulate across its
+    # whole range, so fewer/larger ranges mean fewer partially-filled
+    # tail flushes (the device pays per packed chunk).  The router does
+    # ~6x the per-byte work of the plain parser, so even ~8MB ranges
+    # are worth parallelizing.
+    items: list[tuple] = []
+    whole = 1 << 62
+    for path, trim in zip(paths, trims):
+        kind = lib.kat_fastx_sniff(path.encode())
+        size = os.path.getsize(path) if kind in (1, 2) else 0
+        if kind in (1, 2) and threads > 1 and size > 2 * (RANGE_CHUNK
+                                                          // 8):
+            n = min(threads, max(1, size // (RANGE_CHUNK // 8)))
+            step = -(-size // n)
+            for s in range(0, size, step):
+                items.append((path, trim, s, min(s + step, size),
+                              "range"))
+        else:
+            items.append((path, trim, 0, whole, "plain"))
     threads = min(threads, len(items))
 
     def open_item(item):
