@@ -169,14 +169,20 @@ N_WORDS_WIDE = 4  # word count for the (31, 63] range (compat constant)
 
 
 def words_for_k(k: int) -> int:
-    """2 for the packed-u64 fast path; 2*(k//32+1) words for wide keys
-    (4/6/8/10/... for k <= 63/95/127/159/...).
+    """2 for the packed-u64 fast path; 3 for k in (31, 47]; 2*(k//32+1)
+    words beyond (4/6/8/10/... for k <= 63/95/127/159/...).
 
-    The word count always leaves at least one unused high bit so the
-    all-ones SENTINEL can never collide with a real key (a poly-T k-mer
-    fills exactly 2k bits) — hence k=64 takes 6 words, not 4."""
+    The 3-word path (round-5) exists because most above-31 k values sit
+    in (32, 47] and a 4th sort plane costs ~25% extra compare-exchange
+    work for bits that are always zero; 2k <= 94 < 96 keeps the sentinel
+    unambiguous.  Beyond 47 the word count always leaves at least one
+    unused high bit so the all-ones SENTINEL can never collide with a
+    real key (a poly-T k-mer fills exactly 2k bits) — hence k=64 takes 6
+    words, not 4."""
     if 1 <= k <= MAX_K:
         return 2
+    if k <= 47:
+        return 3
     if k <= MAX_K_WIDE:
         return 2 * (k // 32 + 1)
     raise ValueError(f"k={k} out of supported range [1, {MAX_K_WIDE}]")

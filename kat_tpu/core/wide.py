@@ -480,6 +480,9 @@ def table_to_numpy(t: WideTable):
     Vectorized to uint64 word-pairs; only the final big-int assembly is a
     (cheap) python comprehension over pre-combined halves."""
     words, counts = table_words_to_numpy(t)
+    if words.shape[1] % 2:  # odd word counts (3-word path): zero-extend
+        words = np.concatenate(
+            [np.zeros((words.shape[0], 1), np.uint32), words], axis=1)
     w64 = words.astype(np.uint64)
     halves = [(w64[:, i] << np.uint64(32)) | w64[:, i + 1]
               for i in range(0, words.shape[1], 2)]

@@ -105,15 +105,42 @@ def test_wide_lookup(seqs):
 
     import jax.numpy as jnp
 
+    from kat_tpu.core.kmers import words_for_k
+
+    nw = words_for_k(k)
+    assert nw == 3  # k=41 rides the 3-word path
     present = list(want.keys())[:50]
     absent = [(kk ^ 0x5A5A) for kk in present[:10]
               if (kk ^ 0x5A5A) not in want]
     queries = present + absent
-    qw = [jnp.asarray([(q >> (32 * (N_WORDS_WIDE - 1 - wi))) & 0xFFFFFFFF
+    qw = [jnp.asarray([(q >> (32 * (nw - 1 - wi))) & 0xFFFFFFFF
                        for q in queries], jnp.uint32)
-          for wi in range(N_WORDS_WIDE)]
+          for wi in range(nw)]
     got = np.asarray(wide.lookup_wide(t, tuple(qw)))
     for i, q in enumerate(present):
         assert got[i] == want[q]
     for i in range(len(present), len(queries)):
         assert got[i] == 0
+
+
+def test_jf_round_trip_three_word(tmp_path, seqs):
+    """.jf export/import at a 3-word k (odd word count zero-extends to
+    64-bit key packing)."""
+    k = 47
+    sc = wide.WideCodeStreamingCounter(k, canonical=True,
+                                       initial_capacity=1 << 12)
+    for s in seqs:
+        if len(s) >= k:
+            sc.add_codes(_codes(s)[None])
+    t = sc.finish()
+    keys, counts = wide.table_to_numpy(t)
+    want = oracle.count_seqs(seqs, k)
+    assert dict(zip(keys, counts.tolist())) == dict(want)
+
+    from kat_tpu.io import jellyfish
+
+    p = tmp_path / "wide3.jf"
+    jellyfish.write_jf(str(p), keys, counts, mer_len=k, canonical=True)
+    hdr2, keys2, counts2 = jellyfish.read_jf(str(p))
+    assert hdr2.mer_len == k
+    assert dict(zip(keys2, counts2.tolist())) == dict(want)
