@@ -3,6 +3,7 @@ co-partitioned shards with psum merges and shard-routed lookups (P6) must
 be byte-identical to the single-table engines — the tables never leave the
 mesh (VERDICT round-1 item 2/3)."""
 
+import os
 import random
 
 import numpy as np
@@ -283,11 +284,37 @@ def test_lookup_mixed_queries_exact_plan():
     np.testing.assert_array_equal(got, want)
 
 
-def test_sharded_lookup_join_in_shard_map(inputs, monkeypatch):
+def test_sharded_lookup_join_in_shard_map():
     """On real meshes the routed lookup's local probe auto-routes through
     the sort-merge join (tables.lookup policy + kernels on); exercise
     exactly that composition — Pallas sort/merge inside shard_map — in
-    interpret mode on the CPU mesh."""
+    interpret mode on the CPU mesh.
+
+    Runs in a SUBPROCESS: compiling this program after the ~273 tests
+    that precede it in the quick tier deterministically SEGFAULTS inside
+    XLA:CPU's backend_compile_and_load (faulthandler-captured stack in
+    round 5 — jax/_src/compiler.py:362, reproduced with compile caches
+    disabled AND freshly removed, so it is accumulated in-process
+    LLVM/XLA compiler state, not our kernels or a stale cache; the same
+    compilation succeeds in a fresh process, 44s).  Isolation is the
+    only available mitigation for an upstream compiler bug."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, KAT_TPU_JOINMAP_CHILD="1")
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+         f"{__file__}::test_joinmap_impl"],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-2000:])
+
+
+def test_joinmap_impl(inputs, monkeypatch):
+    """The actual join-in-shard_map check (see the wrapper above)."""
+    if not os.environ.get("KAT_TPU_JOINMAP_CHILD"):
+        pytest.skip("runs via the subprocess wrapper (XLA:CPU "
+                    "compiler-state segfault; see the wrapper docstring)")
     monkeypatch.setenv("KAT_TPU_KERNEL", "1")
     monkeypatch.setenv("KAT_TPU_JOIN", "1")
     from kat_tpu.core import counting as _counting
