@@ -132,6 +132,24 @@ def child_main() -> None:
 
     kmers_per_s = bench_batches * windows / best_dt
 
+    # ---- minimizer-bucketed flush (round-5 chunked-sort path): same
+    # read model, device-side throughput with pre-staged routed flushes;
+    # the headline takes whichever path is faster on THIS chip ----
+    mini = {}
+    classic_rate = kmers_per_s
+    if not degraded and not os.environ.get("KAT_TPU_BENCH_NO_MINI"):
+        _stage("bucketed")
+        try:
+            mini = _bucketed_bench(k, genome, genome_len, read_view,
+                                   length)
+            if mini.get("bucketed_kmers_per_s", 0) > kmers_per_s:
+                kmers_per_s = mini["bucketed_kmers_per_s"]
+        except Exception as e:  # never sink the headline
+            mini = {"bucketed_error": str(e)[:200]}
+    mini["classic_kmers_per_s"] = round(classic_rate, 1)
+    mini["counter_path"] = ("bucketed"
+                            if kmers_per_s != classic_rate else "classic")
+
     _stage("lookup")
     lookup = {}
     if not degraded:
@@ -144,15 +162,117 @@ def child_main() -> None:
     ingest = _ingest_bench() if not degraded else {
         "ingest_skipped": "degraded chip pool"}
 
-    print(json.dumps({
+    out = {
         "metric": "canonical_kmers_per_s",
         "value": round(kmers_per_s, 1),
         "unit": "kmers/s",
         "vs_baseline": round(kmers_per_s / 1e9, 4),
         **verify,
+        **mini,
         **lookup,
         **ingest,
-    }), flush=True)
+    }
+    ref = _reference_rate()
+    if ref:
+        out["vs_reference"] = round(kmers_per_s / ref, 2)
+        out["reference_kmers_per_s"] = ref
+    print(json.dumps(out), flush=True)
+
+
+def _reference_rate() -> float | None:
+    """Measured reference-binary counting rate (kmers/s) from
+    BASELINE.json's `measured_reference`, if recorded."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE.json")) as f:
+            base = json.load(f)
+        return float(base["measured_reference"]["kmers_per_s"])
+    except (OSError, KeyError, ValueError, TypeError):
+        return None
+
+
+def _bucketed_bench(k, genome, genome_len, read_view, length) -> dict:
+    """Device-side throughput of the minimizer-bucketed chunked flush
+    (core/bucketed.py): write the same synthetic reads as FASTQ, route
+    host-side (rate reported), stage the flush layouts on device, then
+    time repeated counting passes.  Bit-parity vs the classic flush is
+    covered by benchmarks/bucketed_bench.py and the CLI parity test;
+    here both paths measure the same read model."""
+    import tempfile
+    import time as _t
+
+    import jax
+
+    from kat_tpu.core import bucketed, minimizer
+    from kat_tpu.io import native
+
+    if not (minimizer.supports(k) and native.available()):
+        return {"bucketed_skipped": "unsupported k or native lib missing"}
+
+    n_reads = 192_000  # ~191.6M windows = ~3 chunked flushes
+    rng = np.random.default_rng(7)
+    fd, path = tempfile.mkstemp(suffix=".fastq")
+    qual = b"I" * length
+    try:
+        with os.fdopen(fd, "wb") as f:
+            for start in range(0, n_reads, 20_000):
+                mrows = min(20_000, n_reads - start)
+                offs = rng.integers(0, genome_len, size=mrows)
+                f.write(b"".join(
+                    b"@r%d\n%s\n+\n%s\n" % (start + i,
+                                            read_view[offs[i]].tobytes(),
+                                            qual)
+                    for i in range(mrows)))
+
+        S = minimizer.rec_windows(k)
+        rec_per_chunk = (1 << 17) // S
+        max_chunks = 512
+        t0 = _t.perf_counter()
+        staged = []
+        total_windows = 0
+        for chunks, groups, nw in native.route_flushes(
+                [path], k, minimizer.M_DEFAULT, 13, max_chunks,
+                rec_per_chunk, threads=3):
+            n = chunks.shape[0]
+            tgt = min(max_chunks,
+                      1 << max(3, int(np.ceil(np.log2(max(n, 1))))))
+            if n < tgt:
+                chunks = np.vstack([
+                    chunks, np.zeros((tgt - n, rec_per_chunk),
+                                     np.uint64)])
+            rhi, rlo = bucketed._as_planes(np.ascontiguousarray(chunks))
+            staged.append((jax.device_put(rhi), jax.device_put(rlo),
+                           [(int(a), int(b)) for a, b in
+                            np.asarray(groups).reshape(-1, 2)]))
+            total_windows += nw
+        route_rate = total_windows / (_t.perf_counter() - t0)
+
+        def run() -> int:
+            sc = bucketed.BucketedCodeCounter(
+                k, initial_capacity=1 << 24, max_capacity=1 << 26)
+            for rhi, rlo, groups in staged:
+                sc._check_overflow()
+                prev = sc.table
+                sc.table, fnu = sc._run_flush(
+                    prev, rhi, rlo, groups, rhi.shape[0],
+                    rec_per_chunk)
+                sc._unchecked = (prev, rhi, rlo, groups, rhi.shape[0],
+                                 rec_per_chunk, fnu)
+            return int(sc.finish().n_unique)  # device sync
+
+        n_uniq = run()  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            run()
+            best = min(best, _t.perf_counter() - t0)
+        return {
+            "bucketed_kmers_per_s": round(total_windows / best, 1),
+            "bucketed_router_host_windows_per_s": round(route_rate, 1),
+            "bucketed_distinct": n_uniq,
+        }
+    finally:
+        os.unlink(path)
 
 
 def _lookup_bench(sc, batches) -> dict:
@@ -194,54 +314,47 @@ def _lookup_bench(sc, batches) -> dict:
 
 
 def _ingest_bench() -> dict:
-    """End-to-end ingest: FASTQ on disk -> native reader -> prefetch ->
-    device counting (SURVEY §7 hard part (f): 'input pipeline keeps chips
-    busy').  Over the dev tunnel host->device bandwidth is artificially
-    slow, so this is a lower bound for a real TPU host; reported as extra
-    fields, the headline metric stays device-side throughput."""
+    """Input-pipeline rate: FASTQ on disk -> native parallel reader,
+    HOST-side only (SURVEY §7 hard part (f): 'input pipeline keeps chips
+    busy').  Earlier rounds reported an end-to-end figure through the
+    dev tunnel, which measured the tunnel's host->device bandwidth, not
+    the system (VERDICT r4) — the meaningful number is whether the host
+    reader outruns the device's counting rate, so that is what ships."""
     import tempfile
     import time as _t
 
-    from kat_tpu.core import counting
     from kat_tpu.io import native
-    from kat_tpu.io.prefetch import prefetch
 
     k = 27
-    n_reads, read_len = 120_000, 150
+    n_reads, read_len = 400_000, 150
     rng = np.random.default_rng(3)
     genome = rng.integers(0, 4, size=(1 << 22) + read_len, dtype=np.uint8)
     bases = np.frombuffer(b"ACGT", np.uint8)[genome]
     view = np.lib.stride_tricks.sliding_window_view(bases, read_len)
-    offs = rng.integers(0, 1 << 22, size=n_reads)
     qual = b"I" * read_len
     fd, path = tempfile.mkstemp(suffix=".fastq")
     try:
         with os.fdopen(fd, "wb") as f:
-            for i in range(n_reads):
-                f.write(b"@r%d\n" % i)
-                f.write(view[offs[i]].tobytes())
-                f.write(b"\n+\n")
-                f.write(qual)
-                f.write(b"\n")
+            for start in range(0, n_reads, 50_000):
+                m = min(50_000, n_reads - start)
+                offs = rng.integers(0, 1 << 22, size=m)
+                f.write(b"".join(
+                    b"@r%d\n%s\n+\n%s\n" % (start + i,
+                                            view[offs[i]].tobytes(), qual)
+                    for i in range(m)))
 
+        threads = native.reader_threads_default(1)
         t0 = _t.perf_counter()
-        sc = counting.CodeStreamingCounter(
-            k, canonical=True, initial_capacity=1 << 23,
-            max_capacity=1 << 26, flush_windows=1 << 25)
-        for batch in prefetch(native.stream_code_batches([path], k)):
-            sc.add_codes(batch)
-        table = sc.finish()
-        n_uniq = int(table.n_unique)  # device sync
+        windows = 0
+        for batch in native.stream_code_batches([path], k,
+                                                threads=threads):
+            windows += batch.shape[0] * (batch.shape[1] - k + 1)
         dt = _t.perf_counter() - t0
-        windows = n_reads * (read_len - k + 1)
         return {
-            "ingest_kmers_per_s": round(windows / dt, 1),
+            "ingest_host_windows_per_s": round(
+                n_reads * (read_len - k + 1) / dt, 1),
+            "ingest_reader_threads": threads,
             "ingest_seconds": round(dt, 2),
-            "ingest_distinct": n_uniq,
-            # over the dev tunnel, host->device upload dominates this
-            # figure; it is a lower bound, NOT host-representative (see
-            # benchmarks/ingest_large.py reader_only for the host truth)
-            "ingest_tunnel_bound": True,
         }
     finally:
         os.unlink(path)
