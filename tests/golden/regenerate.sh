@@ -31,6 +31,9 @@ $KAT comp -m13 -o comp_3in $data/ecoli_r1.1K.fastq $data/sect_length_test.fa $da
 $KAT comp -m13 -x 1.5 -y 0.5 -i 256 -j 128 -o comp_scaled $data/ecoli_r1.1K.fastq $data/ecoli_r2.1K.fastq
 $KAT hist -o hist_jf $data/ecoli.header.jf27
 $KAT gcp -o gcp_jf $data/ecoli.header.jf27
+$KAT sect -m17 -g -E -F -o sect_gc $data/sect_test.fa $data/ecoli_r1.1K.fastq
+$KAT filter seq -m17 -T 0.2 --invert -o fs_inv --seq $data/sect_test.fa $data/ecoli_r1.1K.fastq
+$KAT filter seq -m17 -T 0.2 --separate -o fs_sep --seq $data/sect_test.fa $data/ecoli_r1.1K.fastq
 
 rm -rf "$G"/out
 mkdir -p "$G"/out
@@ -47,12 +50,13 @@ cp comp_cn-main.mx comp_cn.stats "$G"/out/
 cp sect_jf-counts.cvg sect_jf-stats.tsv "$G"/out/
 cp sect_reads-counts.cvg sect_reads-stats.tsv "$G"/out/
 cp sect_reads-repetitive.fa sect_reads-non_repetitive.fa "$G"/out/ 2>/dev/null || true
+cp sect_gc-counts.gc sect_gc-counts.cvg sect_gc-stats.tsv "$G"/out/
 cp cold_m17-stats.tsv "$G"/out/
 cp comp_3in-main.mx comp_3in-ends.mx comp_3in-middle.mx comp_3in-mixed.mx \
    comp_3in.stats "$G"/out/
 cp comp_scaled-main.mx comp_scaled.stats "$G"/out/
 cp hist_jf gcp_jf.mx "$G"/out/
 ls fk_m17* fs_m17* || true
-for f in fk_m17* fs_m17*; do cp "$f" "$G"/out/; done
+for f in fk_m17* fs_m17* fs_inv* fs_sep*; do cp "$f" "$G"/out/; done
 ls -la "$G"/out
 rm -rf $T

@@ -162,3 +162,29 @@ def test_filter_kmer_jf_content(tmp_path):
     our_map = dict(zip(np.asarray(keys_our).tolist(),
                        np.asarray(counts_our).tolist()))
     assert ref_map == our_map
+
+
+def test_sect_gc_stats(tmp_path):
+    """-g writes <prefix>-counts.gc (reference src/sect.cc:176-179)."""
+    out = tmp_path / "sect_gc"
+    assert cli.main(["sect", "-m", "17", "-g", "-E", "-F", "-o", str(out),
+                     SECT_FA, R1]) == 0
+    _diff(tmp_path / "sect_gc-counts.gc", "sect_gc-counts.gc")
+    _diff(tmp_path / "sect_gc-counts.cvg", "sect_gc-counts.cvg")
+    _diff(tmp_path / "sect_gc-stats.tsv", "sect_gc-stats.tsv")
+
+
+def test_filter_seq_invert(tmp_path):
+    out = tmp_path / "fs_inv"
+    assert cli.main(["filter", "seq", "-m", "17", "-T", "0.2", "--invert",
+                     "-o", str(out), "--seq", SECT_FA, R1]) == 0
+    _diff(tmp_path / "fs_inv.in.fa", "fs_inv.in.fa")
+
+
+def test_filter_seq_separate(tmp_path):
+    out = tmp_path / "fs_sep"
+    assert cli.main(["filter", "seq", "-m", "17", "-T", "0.2",
+                     "--separate", "-o", str(out), "--seq", SECT_FA,
+                     R1]) == 0
+    _diff(tmp_path / "fs_sep.in.fa", "fs_sep.in.fa")
+    _diff(tmp_path / "fs_sep.out.fa", "fs_sep.out.fa")
