@@ -28,7 +28,10 @@ def _seqs(seed, n, lo, hi):
 
 def test_words_for_k_ranges():
     assert words_for_k(31) == 2
-    assert words_for_k(32) == 4
+    # (31, 47]: 3-word path (2k <= 94 < 96 keeps the sentinel unique)
+    assert words_for_k(32) == 3
+    assert words_for_k(47) == 3
+    assert words_for_k(48) == 4
     assert words_for_k(63) == 4
     # k=64 fills 128 bits exactly: a poly-T key would equal the sentinel
     # in 4 words, so 6 are used (one spare high bit guaranteed)
