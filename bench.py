@@ -247,9 +247,18 @@ def _bucketed_bench(k, genome, genome_len, read_view, length) -> dict:
             total_windows += nw
         route_rate = total_windows / (_t.perf_counter() - t0)
 
+        from kat_tpu.core.counting import empty_table
+
+        # ONE counter across passes: its jitted stage functions are
+        # cached per instance, and a fresh counter per pass would
+        # recompile the whole flush every time (the silent 25x bug the
+        # first chip A/B hit)
+        sc = bucketed.BucketedCodeCounter(
+            k, initial_capacity=1 << 24, max_capacity=1 << 26)
+
         def run() -> int:
-            sc = bucketed.BucketedCodeCounter(
-                k, initial_capacity=1 << 24, max_capacity=1 << 26)
+            sc.table = empty_table(sc.capacity)
+            sc._unchecked = None
             for rhi, rlo, groups in staged:
                 sc._check_overflow()
                 prev = sc.table

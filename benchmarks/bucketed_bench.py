@@ -60,19 +60,17 @@ def main() -> None:
     t0 = time.perf_counter()
     flushes = []
     total_windows = 0
-    with native.SupermerRouter(path, k, minimizer.M_DEFAULT,
-                               bucket_bits) as r:
-        while True:
-            fl = r.next_flush(max_chunks, rec_per_chunk)
-            if fl is None:
-                break
-            chunks, groups, nw = fl
-            if chunks.shape[0] < max_chunks:
-                chunks = np.vstack([
-                    chunks, np.zeros((max_chunks - chunks.shape[0],
-                                      rec_per_chunk), np.uint64)])
-            flushes.append((chunks, groups))
-            total_windows += nw
+    for chunks, groups, nw in native.route_flushes(
+            [path], k, minimizer.M_DEFAULT, bucket_bits, max_chunks,
+            rec_per_chunk, threads=4):
+        n = chunks.shape[0]
+        tgt = min(max_chunks,
+                  1 << max(3, int(np.ceil(np.log2(max(n, 1))))))
+        if n < tgt:  # pow2 pad, not full-grid pad (device pays per chunk)
+            chunks = np.vstack([
+                chunks, np.zeros((tgt - n, rec_per_chunk), np.uint64)])
+        flushes.append((chunks, groups))
+        total_windows += nw
     route_dt = time.perf_counter() - t0
     route_rate = total_windows / route_dt
     fill = total_windows / (len(flushes) * max_chunks * rec_per_chunk * S)
@@ -89,17 +87,24 @@ def main() -> None:
                        [(int(a), int(b)) for a, b in
                         np.asarray(groups).reshape(-1, 2)]))
 
+    # ONE counter reused across passes: per-instance jit caches mean a
+    # fresh counter would recompile the flush every pass (25x bug in the
+    # first chip capture)
+    sc_b = bucketed.BucketedCodeCounter(k, initial_capacity=1 << 24,
+                                        max_capacity=1 << 26)
+
     def run_bucketed() -> counting.CountTable:
-        sc = bucketed.BucketedCodeCounter(k, initial_capacity=1 << 24,
-                                          max_capacity=1 << 26)
+        sc_b.table = counting.empty_table(sc_b.capacity)
+        sc_b._unchecked = None
         for rhi, rlo, groups in staged:
-            sc._check_overflow()
-            prev = sc.table
-            sc.table, fnu = sc._run_flush(prev, rhi, rlo, groups,
-                                          max_chunks, rec_per_chunk)
-            sc._unchecked = (prev, rhi, rlo, groups, max_chunks,
-                             rec_per_chunk, fnu)
-        t = sc.finish()
+            sc_b._check_overflow()
+            prev = sc_b.table
+            sc_b.table, fnu = sc_b._run_flush(prev, rhi, rlo, groups,
+                                              rhi.shape[0],
+                                              rec_per_chunk)
+            sc_b._unchecked = (prev, rhi, rlo, groups, rhi.shape[0],
+                               rec_per_chunk, fnu)
+        t = sc_b.finish()
         _ = int(t.n_unique)  # device sync (tunnel-safe)
         return t
 
@@ -131,13 +136,18 @@ def main() -> None:
         batches.append(jax.device_put(code_of[rowsarr]))
     windows_classic = n_batches * rows * (length - k + 1)
 
+    sc_c = counting.CodeStreamingCounter(
+        k, canonical=True, initial_capacity=1 << 24,
+        max_capacity=1 << 26, flush_windows=1 << 26)
+
     def run_classic() -> counting.CountTable:
-        sc = counting.CodeStreamingCounter(
-            k, canonical=True, initial_capacity=1 << 24,
-            max_capacity=1 << 26, flush_windows=1 << 26)
+        sc_c.table = counting.empty_table(sc_c.capacity)
+        sc_c._codes = []
+        sc_c._shape = None
+        sc_c._unchecked = None
         for b in batches:
-            sc.add_codes(b)
-        t = sc.finish()
+            sc_c.add_codes(b)
+        t = sc_c.finish()
         _ = int(t.n_unique)
         return t
 
