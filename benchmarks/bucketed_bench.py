@@ -32,7 +32,7 @@ def main() -> None:
 
     k = 27
     read_len = 1024
-    n_reads = 64_000                 # ~64M windows per pass
+    n_reads = 216_000                # ~215M windows = 4 FULL flushes
     genome_len = 1 << 23
     rng = np.random.default_rng(42)
     genome = rng.integers(0, 4, size=genome_len + read_len, dtype=np.uint8)
@@ -60,9 +60,13 @@ def main() -> None:
     t0 = time.perf_counter()
     flushes = []
     total_windows = 0
+    # ONE router: range workers would each end with a partial tail
+    # flush, and small flushes pay a full-table merge each (host rates
+    # on this VM swing ~10x run to run anyway — the number is
+    # indicative; the device measurement below is the point)
     for chunks, groups, nw in native.route_flushes(
             [path], k, minimizer.M_DEFAULT, bucket_bits, max_chunks,
-            rec_per_chunk, threads=4):
+            rec_per_chunk, threads=1):
         n = chunks.shape[0]
         tgt = min(max_chunks,
                   1 << max(3, int(np.ceil(np.log2(max(n, 1))))))
@@ -73,7 +77,8 @@ def main() -> None:
         total_windows += nw
     route_dt = time.perf_counter() - t0
     route_rate = total_windows / route_dt
-    fill = total_windows / (len(flushes) * max_chunks * rec_per_chunk * S)
+    sorted_chunks = sum(c.shape[0] for c, _ in flushes)
+    fill = total_windows / (sorted_chunks * rec_per_chunk * S)
     print(f"router: {total_windows} windows in {route_dt:.2f}s = "
           f"{route_rate/1e6:.1f}M w/s host-side; {len(flushes)} flushes; "
           f"slot fill {fill:.3f}; groups per flush "
