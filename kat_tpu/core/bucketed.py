@@ -1,0 +1,324 @@
+"""Minimizer-bucketed streaming counter: the chunked counting flush.
+
+The classic flush (counting.CodeStreamingCounter) pays a full 2^26
+bitonic sort per flush — 351 compare-exchange rounds, the measured
+roofline wall (docs/PERFORMANCE.md).  Here the native supermer router
+(io/native.SupermerRouter + native/fastxio.cpp) delivers each flush
+pre-grouped into minimizer-hash buckets that are a PREFIX of the
+transformed key order (core/minimizer.py), so the device:
+
+  1. expands supermer records to per-window transformed keys
+     (minimizer.expand_records — pure VPU ops, no gathers),
+  2. sorts each chunk independently in ONE window-kernel HBM pass with
+     phases capped at the chunk size (ops/sort_kernel.bitonic_sort_chunks),
+  3. merges the few hot-bucket chunk groups the router reports
+     (bitonic_merge_runs on a dynamic slice),
+  4. reduces the whole chunk stream in one streaming pass — interior
+     sentinel gaps between chunks are legal for reduce_compact_sorted
+     (sentinel runs are never emitted) and all copies of one k-mer land
+     in one bucket, so this collapses the ~coverage-fold multiplicity
+     BEFORE the table merge,
+  5. bitonic-merges the reduced fresh uniques with the resident table
+     (itself kept in key'-space) and reduces again.
+
+finish() decodes the table back to plain canonical keys and re-sorts
+once, returning a standard counting.CountTable — nothing downstream
+(analysis, lookups, export) sees key'-space.
+
+Reference role: replaces the same jellyfish hash fill as the classic
+flush (deps/jellyfish-2.2.0/include/jellyfish/hash_counter.hpp), via the
+KMC2 signature-partition idea (PAPERS.md) recast for fixed TPU shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .counting import (CountTable, TableFullError, _kernel_interpret,
+                       empty_table, kernels_enabled)
+from .kmers import SENTINEL
+from . import minimizer
+
+
+def _as_planes(chunks: np.ndarray):
+    rhi = (chunks >> np.uint64(32)).astype(np.uint32)
+    rlo = (chunks & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return rhi, rlo
+
+
+@functools.partial(jax.jit, static_argnames=("g", "chunk_slots",
+                                             "interpret"))
+def _merge_group(hi, lo, start_chunk, g: int, chunk_slots: int,
+                 interpret: bool):
+    """Merge an aligned group of g sorted chunk-runs (one hot bucket)
+    in place within the flat sorted stream."""
+    from ..ops.sort_kernel import bitonic_merge_runs
+
+    n = g * chunk_slots
+    off = start_chunk * chunk_slots
+    sl = [jax.lax.dynamic_slice(p, (off,), (n,)) for p in (hi, lo)]
+    mh, ml = bitonic_merge_runs(tuple(sl), 2, chunk_slots,
+                                interpret=interpret)
+    hi = jax.lax.dynamic_update_slice(hi, mh, (off,))
+    lo = jax.lax.dynamic_update_slice(lo, ml, (off,))
+    return hi, lo
+
+
+class BucketedCodeCounter:
+    """Streaming counter over routed supermer chunk flushes.
+
+    Feed with add_flush(chunks, groups) using the router's output shape
+    [max_chunks, rec_per_chunk] (pad short flushes with zero records);
+    finish() returns a standard key-space CountTable.
+    """
+
+    def __init__(self, k: int, m: int = minimizer.M_DEFAULT,
+                 initial_capacity: int = 1 << 20,
+                 max_capacity: int = 1 << 30,
+                 disable_grow: bool = False):
+        if not minimizer.supports(k, m):
+            raise ValueError(f"bucketed counter unsupported for k={k}, "
+                             f"m={m} (needs m < k <= m+16)")
+        self.k = k
+        self.m = m
+        self.capacity = int(initial_capacity)
+        self.max_capacity = int(max_capacity)
+        self.disable_grow = disable_grow
+        self.table = empty_table(self.capacity)  # KEY'-SPACE keys
+        self._fns: dict = {}
+        self._unchecked: tuple | None = None
+
+    # -- flush program -----------------------------------------------------
+
+    def _stage_a(self, n_chunks: int, rec_per_chunk: int):
+        key = ("a", n_chunks, rec_per_chunk)
+        if key not in self._fns:
+            from ..ops.sort_kernel import bitonic_sort_chunks
+
+            k, m = self.k, self.m
+            S = minimizer.rec_windows(k)
+            chunk_slots = rec_per_chunk * S
+            interp = _kernel_interpret()
+
+            @jax.jit
+            def stage_a(rhi, rlo):
+                khi, klo, _valid = minimizer.expand_records(
+                    rhi.reshape(-1), rlo.reshape(-1), k, m)
+                # [N, S] rows are records in chunk-major order, so a
+                # plain ravel IS the chunk slot layout
+                return bitonic_sort_chunks(
+                    (khi.reshape(-1), klo.reshape(-1)), 2, chunk_slots,
+                    interpret=interp)
+
+            self._fns[key] = stage_a
+        return self._fns[key]
+
+    def _stage_b(self, n_slots: int, cap: int):
+        key = ("b", n_slots, cap)
+        if key not in self._fns:
+            from ..ops.merge_kernel import merge_sorted_kernel
+            from ..ops.reduce_kernel import reduce_compact_sorted
+
+            interp = _kernel_interpret()
+
+            @jax.jit
+            def stage_b(shi, slo, thi, tlo, tc):
+                w = (~((shi == SENTINEL)
+                       & (slo == SENTINEL))).astype(jnp.uint32)
+                # chunk-local dedup: every copy of a k-mer shares a
+                # bucket, so the reduced stream is the flush's distinct
+                # keys — the table merge then runs at table scale, not
+                # stream scale
+                fh, fl, fc, fnu = reduce_compact_sorted(
+                    (shi, slo), w, cap, interpret=interp)
+                (mh, ml), (mc,) = merge_sorted_kernel(
+                    (thi, tlo), (tc,), (fh, fl), (fc,),
+                    interpret=interp)
+                n_real = thi.shape[0] + fh.shape[0]
+                out = reduce_compact_sorted(
+                    (mh[:n_real], ml[:n_real]), mc[:n_real], cap,
+                    interpret=interp)
+                return (*out, fnu)
+
+            self._fns[key] = stage_b
+        return self._fns[key]
+
+    def _fused_fn(self, n_chunks: int, rec_per_chunk: int, cap: int):
+        """No-hot-groups flush as ONE jit (expand + chunked sort +
+        chunk-local dedup reduce + table merge + reduce): a single
+        dispatch per flush — over the dev tunnel each extra dispatch
+        costs ~21ms, which is material at ~200ms/flush."""
+        key = ("f", n_chunks, rec_per_chunk, cap)
+        if key not in self._fns:
+            from ..ops.merge_kernel import merge_sorted_kernel
+            from ..ops.reduce_kernel import reduce_compact_sorted
+            from ..ops.sort_kernel import bitonic_sort_chunks
+
+            k, m = self.k, self.m
+            S = minimizer.rec_windows(k)
+            chunk_slots = rec_per_chunk * S
+            interp = _kernel_interpret()
+
+            @jax.jit
+            def fused(rhi, rlo, thi, tlo, tc):
+                khi, klo, _valid = minimizer.expand_records(
+                    rhi.reshape(-1), rlo.reshape(-1), k, m)
+                shi, slo = bitonic_sort_chunks(
+                    (khi.reshape(-1), klo.reshape(-1)), 2, chunk_slots,
+                    interpret=interp)
+                w = (~((shi == SENTINEL)
+                       & (slo == SENTINEL))).astype(jnp.uint32)
+                fh, fl, fc, fnu = reduce_compact_sorted(
+                    (shi, slo), w, cap, interpret=interp)
+                (mh, ml), (mc,) = merge_sorted_kernel(
+                    (thi, tlo), (tc,), (fh, fl), (fc,), interpret=interp)
+                n_real = thi.shape[0] + fh.shape[0]
+                out = reduce_compact_sorted(
+                    (mh[:n_real], ml[:n_real]), mc[:n_real], cap,
+                    interpret=interp)
+                return (*out, fnu)
+
+            self._fns[key] = fused
+        return self._fns[key]
+
+    def _run_flush(self, table: CountTable, rhi, rlo, groups,
+                   n_chunks: int, rec_per_chunk: int):
+        if not groups:
+            f = self._fused_fn(n_chunks, rec_per_chunk, self.capacity)
+            nhi, nlo, nc, n_unique, fnu = f(
+                rhi, rlo, table.keys_hi, table.keys_lo, table.counts)
+            return CountTable(nhi, nlo, nc, n_unique), fnu
+        a = self._stage_a(n_chunks, rec_per_chunk)
+        shi, slo = a(rhi, rlo)
+        interp = _kernel_interpret()
+        S = minimizer.rec_windows(self.k)
+        chunk_slots = rec_per_chunk * S
+        for start, lg in groups:
+            shi, slo = _merge_group(shi, slo, jnp.int32(int(start)),
+                                    1 << int(lg), chunk_slots, interp)
+        b = self._stage_b(shi.shape[0], self.capacity)
+        nhi, nlo, nc, n_unique, fnu = b(
+            shi, slo, table.keys_hi, table.keys_lo, table.counts)
+        return CountTable(nhi, nlo, nc, n_unique), fnu
+
+    # -- streaming protocol ------------------------------------------------
+
+    def add_flush(self, chunks: np.ndarray, groups) -> None:
+        """One router flush: chunks [n_chunks, rec_per_chunk] u64 records
+        (zero-padded), groups [(start_chunk, log2_chunks), ...]."""
+        n_chunks, rec_per_chunk = chunks.shape
+        rhi, rlo = _as_planes(np.ascontiguousarray(chunks))
+        rhi = jax.device_put(rhi)
+        rlo = jax.device_put(rlo)
+        groups = [(int(a), int(b)) for a, b in np.asarray(
+            groups).reshape(-1, 2)] if len(groups) else []
+        self._check_overflow()
+        prev = self.table
+        self.table, fnu = self._run_flush(prev, rhi, rlo, groups,
+                                          n_chunks, rec_per_chunk)
+        # optimistic commit (same protocol as CodeStreamingCounter): the
+        # overflow check defers one flush so the host never blocks on the
+        # scalar mid-stream
+        self._unchecked = (prev, rhi, rlo, groups, n_chunks,
+                           rec_per_chunk, fnu)
+        try:
+            self.table.n_unique.copy_to_host_async()
+        except AttributeError:
+            pass
+
+    def _grow(self) -> None:
+        if self.disable_grow or self.capacity * 2 > self.max_capacity:
+            raise TableFullError(
+                f"Count table full at capacity {self.capacity}")
+        self.capacity *= 2
+
+    def _check_overflow(self) -> None:
+        if self._unchecked is None:
+            return
+        prev, rhi, rlo, groups, n_chunks, rec_per_chunk, fnu = \
+            self._unchecked
+        self._unchecked = None
+        while (int(self.table.n_unique) > self.capacity
+               or int(fnu) > self.capacity):
+            self._grow()
+            from .counting import merge_tables
+
+            prev = merge_tables(prev, empty_table(0),
+                                capacity=self.capacity)
+            self.table, fnu = self._run_flush(
+                prev, rhi, rlo, groups, n_chunks, rec_per_chunk)
+
+    def device_sync(self) -> int:
+        return int(self.table.n_unique)
+
+    def finish(self) -> CountTable:
+        """Settle deferred work, decode key' -> canonical keys, re-sort
+        ONCE, and return a standard-order CountTable."""
+        self._check_overflow()
+        key = ("finish", self.capacity)
+        if key not in self._fns:
+            from ..ops.sort_kernel import sort_planes_padded
+
+            k, m = self.k, self.m
+            interp = _kernel_interpret()
+
+            @jax.jit
+            def fin(khi, klo, counts):
+                dhi, dlo = minimizer.decode_keys(khi, klo, k, m)
+                return sort_planes_padded((dhi, dlo, counts), 2,
+                                          interpret=interp)
+
+            self._fns[key] = fin
+        dhi, dlo, dc = self._fns[key](
+            self.table.keys_hi, self.table.keys_lo, self.table.counts)
+        return CountTable(dhi, dlo, dc, self.table.n_unique)
+
+
+def count_paths_bucketed(paths, k: int, m: int = minimizer.M_DEFAULT,
+                         trim5=None,
+                         max_chunks: int = 512,
+                         rec_per_chunk: int | None = None,
+                         bucket_bits: int | None = None,
+                         initial_capacity: int = 1 << 20,
+                         max_capacity: int = 1 << 30,
+                         disable_grow: bool = False) -> CountTable:
+    """Count canonical k-mers of FASTX paths through the bucketed flush.
+
+    Defaults give ~2^17-slot chunks and 4 buckets per chunk; tune with
+    KAT_TPU_SMR_CHUNKS (max_chunks per flush)."""
+    from ..io import native
+
+    S = minimizer.rec_windows(k)
+    if rec_per_chunk is None:
+        rec_per_chunk = (1 << 17) // S
+    if bucket_bits is None:
+        # ~16 buckets per chunk: first-fit packing wastes ~half a bucket
+        # per chunk boundary, so smaller buckets pack chunks tighter
+        # (measured: 2048 buckets / 512 chunks -> 0.80 record fill, 8192
+        # -> ~0.96)
+        import math
+
+        bucket_bits = min(14, max(6, int(math.log2(max_chunks * 16))))
+    max_chunks = int(os.environ.get("KAT_TPU_SMR_CHUNKS", max_chunks))
+    sc = BucketedCodeCounter(k, m, initial_capacity=initial_capacity,
+                             max_capacity=max_capacity,
+                             disable_grow=disable_grow)
+    for chunks, groups, _nw in native.route_flushes(
+            list(paths), k, m, bucket_bits, max_chunks, rec_per_chunk,
+            trim5=trim5,
+            threads=native.reader_threads_default(len(paths))):
+        n = chunks.shape[0]
+        # pad SHORT flushes (range-worker tails, EOF) to the next pow2
+        # chunk count, not the full grid: the device sorts every padded
+        # chunk, and log-many compiled shapes are cheap
+        tgt = min(max_chunks, 1 << max(3, int(np.ceil(np.log2(n)))))
+        if n < tgt:
+            chunks = np.vstack([
+                chunks, np.zeros((tgt - n, rec_per_chunk), np.uint64)])
+        sc.add_flush(chunks, groups)
+    return sc.finish()
