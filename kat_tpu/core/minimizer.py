@@ -201,16 +201,9 @@ def minimizer_device(chi, clo, k: int, m: int = M_DEFAULT):
     return minval, minpos, strand
 
 
-@functools.partial(jax.jit, static_argnames=("k", "m"))
-def encode_keys(chi, clo, k: int, m: int = M_DEFAULT):
-    """Canonical packed keys -> transformed key' (hi, lo) pairs.
-
-    SENTINEL keys pass through unchanged (they still sort last: key' has
-    at most 63 bits so key'hi < 2^31 < 0xFFFFFFFF)."""
-    if not supports(k, m):
-        raise ValueError(f"bucketed path unsupported for k={k}, m={m}")
+def _assemble_keyp(chi, clo, minval, minpos, strand, k: int, m: int):
+    """key' assembly from a canonical key + its minimizer triple."""
     u = jnp.uint32
-    minval, minpos, strand = minimizer_device(chi, clo, k, m)
     mixv = mix26(minval)
     rb = 2 * (k - m)
     # rest = bases [0, pos) ++ bases [pos+m, k)
@@ -240,6 +233,19 @@ def encode_keys(chi, clo, k: int, m: int = M_DEFAULT):
     klo = hl | rest_lo
     is_sent = (chi == SENTINEL) & (clo == SENTINEL)
     return (jnp.where(is_sent, chi, khi), jnp.where(is_sent, clo, klo))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "m"))
+def encode_keys(chi, clo, k: int, m: int = M_DEFAULT):
+    """Canonical packed keys -> transformed key' (hi, lo) pairs.
+
+    SENTINEL keys pass through unchanged (they still sort last: key' has
+    at most 64 bits whose top 6 come from mixv < 2^26, so key'hi can
+    never reach 0xFFFFFFFF)."""
+    if not supports(k, m):
+        raise ValueError(f"bucketed path unsupported for k={k}, m={m}")
+    minval, minpos, strand = minimizer_device(chi, clo, k, m)
+    return _assemble_keyp(chi, clo, minval, minpos, strand, k, m)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "m"))
@@ -306,10 +312,47 @@ def rec_windows(k: int) -> int:
     return 4 if s >= 4 else (2 if s >= 2 else 1)
 
 
+def _rc_field(bhi, blo, width_bits: int):
+    """Reverse complement of a packed base field of STATIC width (<= 61
+    bits) held in a u32 pair — one whole-record computation that every
+    window and minimizer candidate then reads with static shifts."""
+    u = jnp.uint32
+
+    def rev2(x):
+        x = ((x & u(0x33333333)) << u(2)) | ((x >> u(2)) & u(0x33333333))
+        x = ((x & u(0x0F0F0F0F)) << u(4)) | ((x >> u(4)) & u(0x0F0F0F0F))
+        x = ((x & u(0x00FF00FF)) << u(8)) | ((x >> u(8)) & u(0x00FF00FF))
+        return (x << u(16)) | (x >> u(16))
+
+    # complement, reverse 2-bit groups across the 64-bit pair, then
+    # realign so the field sits in the low `width_bits`
+    rhi, rlo = rev2(~blo), rev2(~bhi)
+    sh = 64 - width_bits  # in [3, 32] for k >= 14 .. fields <= 61 bits
+    if sh == 32:
+        out_hi, out_lo = jnp.zeros_like(rhi), rhi
+    elif sh < 32:
+        out_lo = (rlo >> u(sh)) | (rhi << u(32 - sh))
+        out_hi = rhi >> u(sh)
+    else:
+        out_lo = rhi >> u(sh - 32)
+        out_hi = jnp.zeros_like(rhi)
+    mask_hi = u((1 << (width_bits - 32)) - 1) if width_bits > 32 else u(0)
+    return out_hi & mask_hi, out_lo
+
+
 @functools.partial(jax.jit, static_argnames=("k", "m", "canonical"))
 def expand_records(rhi, rlo, k: int, m: int = M_DEFAULT,
                    canonical: bool = True):
     """Supermer records -> per-window transformed keys.
+
+    Cost structure (round-5 rewrite after the chip profile showed the
+    naive version at 6x the classic extract): the record's reverse
+    complement is computed ONCE (_rc_field), so every window's rc and
+    every minimizer candidate's rc strand are static extracts; candidate
+    (value, pos, strand) triples pack into ONE u32 whose min is the
+    leftmost minimizer (26-bit value | 5-bit pos | strand — value-major,
+    earliest pos on ties), computed per RECORD position and min-reduced
+    per window.
 
     Args:
       rhi/rlo: [n] uint32 halves of the u64 records.
@@ -319,36 +362,84 @@ def expand_records(rhi, rlo, k: int, m: int = M_DEFAULT,
     """
     if not canonical:
         raise ValueError("bucketed path requires canonical counting")
-    from .kmers import canonicalize
-
     u = jnp.uint32
     S = rec_windows(k)
     F = 2 * (k - 1 + S)
     ln = (rhi >> u(29)).astype(jnp.uint32)  # bits 61..63 of the u64
     bhi = rhi & u(0x1FFFFFFF)               # bases field, high word
+    blo = rlo
+    ghi, glo = _rc_field(bhi, blo, F)       # rc of the whole record
+
+    # minimizer candidates per RECORD position t (m-mer over bases
+    # t..t+m-1): fwd from the record, rc from the record's rc (the m-mer
+    # at t maps to rc position F/2 - m - t), packed value-major
+    n_cand = (k - m) + S  # positions 0 .. k-m+S-1
+    cand = []      # pos-field = t: min-reduce keeps FORWARD-leftmost ties
+    cand_rev = []  # pos-field = n_cand-1-t: keeps FORWARD-RIGHTMOST ties
+    #                (= canonical-leftmost when the window canonicalizes
+    #                to the rc strand — the tie rule must follow the
+    #                CANONICAL orientation or equal k-mers arriving via
+    #                opposite strands would encode different key')
+    for t in range(n_cand):
+        f = _extract_bits(bhi, blo, F - 2 * (t + m), 2 * m)
+        r = _extract_bits(ghi, glo, 2 * t, 2 * m)
+        cm = jnp.minimum(f, r)
+        strand = jnp.where(r < f, u(1), u(0))
+        cand.append((cm << u(POS_BITS + 1)) | (u(t) << u(1)) | strand)
+        cand_rev.append((cm << u(POS_BITS + 1))
+                        | (u(n_cand - 1 - t) << u(1)) | strand)
+
     mask_hi = u((1 << (2 * k - 32)) - 1) if 2 * k > 32 else u(0)
-    chis, clos, valids = [], [], []
+    lo_mask = u(0xFFFFFFFF) if 2 * k >= 32 else u((1 << (2 * k)) - 1)
+    khis, klos, valids = [], [], []
     for j in range(S):
-        # window j = bits [shift, shift + 2k) of the bases field;
-        # shift = F - 2(k+j) <= 2(S-1) < 32 always.
-        shift = F - 2 * (k + j)
+        # window j = bits [shift, shift + 2k) of the bases field
+        shift = F - 2 * (k + j)  # <= 2(S-1) < 32
         if shift == 0:
-            fl = rlo
+            fl = blo
         else:
-            fl = (rlo >> u(shift)) | (bhi << u(32 - shift))
+            fl = (blo >> u(shift)) | (bhi << u(32 - shift))
         fh = (bhi >> u(shift)) & mask_hi
-        fl = fl if 2 * k >= 32 else fl & u((1 << (2 * k)) - 1)
+        fl = fl & lo_mask
+        # window rc from the record rc: same window, mirrored offset
+        rshift = 2 * j
+        if rshift == 0:
+            rl = glo
+        else:
+            rl = (glo >> u(rshift)) | (ghi << u(32 - rshift))
+        rh = _extract_bits(ghi, glo, rshift + 32, 2 * k - 32) \
+            if 2 * k > 32 else jnp.zeros_like(ghi)
+        rl = rl & lo_mask
+        rc_less = (rh < fh) | ((rh == fh) & (rl < fl))
+        chi = jnp.where(rc_less, rh, fh)
+        clo = jnp.where(rc_less, rl, fl)
+        # minimizer of window j = min over candidates t in [j, j+k-m];
+        # the tie orientation follows the window's canonical strand
+        best_f = cand[j]
+        best_r = cand_rev[j]
+        for t in range(j + 1, j + (k - m) + 1):
+            best_f = jnp.minimum(best_f, cand[t])
+            best_r = jnp.minimum(best_r, cand_rev[t])
+        best = jnp.where(rc_less, best_r, best_f)
+        minval = best >> u(POS_BITS + 1)
+        pos_field = (best >> u(1)) & u((1 << POS_BITS) - 1)
+        pos_rec = jnp.where(rc_less, u(n_cand - 1) - pos_field,
+                            pos_field)
+        strand = best & u(1)
+        minpos = pos_rec - u(j)  # window-relative (forward orientation)
+        # the candidate scan ran on the FORWARD record; for rc-strand
+        # windows mirror the position and flip the strand bit
+        minpos = jnp.where(rc_less, u(k - m) - minpos, minpos)
+        strand = jnp.where(rc_less, strand ^ u(1), strand)
+        khi_j, klo_j = _assemble_keyp(chi, clo, minval, minpos, strand,
+                                      k, m)
         valid = jnp.uint32(j) < ln
-        chi, clo = canonicalize(fh, fl, k)
-        chi = jnp.where(valid, chi, SENTINEL)
-        clo = jnp.where(valid, clo, SENTINEL)
-        chis.append(chi)
-        clos.append(clo)
+        khis.append(jnp.where(valid, khi_j, SENTINEL))
+        klos.append(jnp.where(valid, klo_j, SENTINEL))
         valids.append(valid)
-    chi = jnp.stack(chis, axis=-1)
-    clo = jnp.stack(clos, axis=-1)
+    khi = jnp.stack(khis, axis=-1)
+    klo = jnp.stack(klos, axis=-1)
     valid = jnp.stack(valids, axis=-1)
-    khi, klo = encode_keys(chi, clo, k, m)
     return khi, klo, valid
 
 

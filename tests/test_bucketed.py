@@ -98,3 +98,23 @@ def test_hist_cli_minimizer_parity(tmp_path, monkeypatch):
     monkeypatch.setenv("KAT_TPU_SMR_CHUNKS", "8")
     cli.main(["hist", "-m", "27", "-o", str(out2), "-p", "none", path])
     assert out1.read_bytes() == out2.read_bytes()
+
+
+def test_reverse_strand_and_tie_storms(tmp_path):
+    """Equal k-mers arriving via opposite strands must encode the SAME
+    key' (the tie rule follows the canonical orientation): reads plus
+    their reverse complements must exactly double every count, including
+    under minimizer-tie storms (poly-A / poly-AT repeats)."""
+    k = 27
+    rng = np.random.default_rng(31)
+    base_seqs = ["".join("ACGT"[c] for c in rng.integers(0, 4, size=90))
+                 for _ in range(15)]
+    base_seqs += ["A" * 120, "AT" * 60, "AAT" * 40, ("A" * 30 + "C") * 3]
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    rcs = ["".join(comp[c] for c in reversed(s)) for s in base_seqs]
+    path = _write_fastq(tmp_path, base_seqs + rcs)
+    S = minimizer.rec_windows(k)
+    table = bucketed.count_paths_bucketed(
+        [path], k, max_chunks=8, rec_per_chunk=1024 // S,
+        bucket_bits=6, initial_capacity=1 << 13)
+    _check_counts(table, base_seqs + rcs, k)
