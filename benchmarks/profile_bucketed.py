@@ -73,9 +73,9 @@ def main() -> None:
 
     @jax.jit
     def s_expand(rhi, rlo):
-        khi, klo, _v = minimizer.expand_records(rhi.reshape(-1),
-                                                rlo.reshape(-1), k, m_)
-        return khi.reshape(-1), klo.reshape(-1)
+        khi, klo, _v = minimizer.expand_records(rhi, rlo, k, m_)
+        return (jnp.swapaxes(khi, 0, 1).reshape(-1),
+                jnp.swapaxes(klo, 0, 1).reshape(-1))
 
     @jax.jit
     def s_sort(khi, klo):

@@ -107,13 +107,15 @@ class BucketedCodeCounter:
 
             @jax.jit
             def stage_a(rhi, rlo):
-                khi, klo, _valid = minimizer.expand_records(
-                    rhi.reshape(-1), rlo.reshape(-1), k, m)
-                # [N, S] rows are records in chunk-major order, so a
-                # plain ravel IS the chunk slot layout
+                # window-major expansion on the [chunks, records] tiling;
+                # the swap to chunk-major slots is a cheap major-dim
+                # block copy (minor dim unchanged)
+                khi, klo, _valid = minimizer.expand_records(rhi, rlo, k,
+                                                            m)
+                khi = jnp.swapaxes(khi, 0, 1).reshape(-1)
+                klo = jnp.swapaxes(klo, 0, 1).reshape(-1)
                 return bitonic_sort_chunks(
-                    (khi.reshape(-1), klo.reshape(-1)), 2, chunk_slots,
-                    interpret=interp)
+                    (khi, klo), 2, chunk_slots, interpret=interp)
 
             self._fns[key] = stage_a
         return self._fns[key]
@@ -166,11 +168,12 @@ class BucketedCodeCounter:
 
             @jax.jit
             def fused(rhi, rlo, thi, tlo, tc):
-                khi, klo, _valid = minimizer.expand_records(
-                    rhi.reshape(-1), rlo.reshape(-1), k, m)
+                khi, klo, _valid = minimizer.expand_records(rhi, rlo, k,
+                                                            m)
+                khi = jnp.swapaxes(khi, 0, 1).reshape(-1)
+                klo = jnp.swapaxes(klo, 0, 1).reshape(-1)
                 shi, slo = bitonic_sort_chunks(
-                    (khi.reshape(-1), klo.reshape(-1)), 2, chunk_slots,
-                    interpret=interp)
+                    (khi, klo), 2, chunk_slots, interpret=interp)
                 w = (~((shi == SENTINEL)
                        & (slo == SENTINEL))).astype(jnp.uint32)
                 fh, fl, fc, fnu = reduce_compact_sorted(

@@ -355,10 +355,13 @@ def expand_records(rhi, rlo, k: int, m: int = M_DEFAULT,
     per window.
 
     Args:
-      rhi/rlo: [n] uint32 halves of the u64 records.
+      rhi/rlo: uint32 halves of the u64 records, ANY shape (kept).
     Returns:
-      (khi, klo): [n, rec_windows(k)] uint32 key' planes (SENTINEL in
-      invalid slots), plus the valid mask.
+      (khi, klo, valid): [rec_windows(k), *rhi.shape] uint32 key' planes
+      (SENTINEL in invalid slots) — window-major so every op runs on the
+      record array's own (wide-minor-dim) tiling; the caller reshapes
+      into chunk slots.  Within-chunk slot ORDER is irrelevant (the
+      chunked sort normalizes it), only chunk MEMBERSHIP matters.
     """
     if not canonical:
         raise ValueError("bucketed path requires canonical counting")
@@ -437,9 +440,9 @@ def expand_records(rhi, rlo, k: int, m: int = M_DEFAULT,
         khis.append(jnp.where(valid, khi_j, SENTINEL))
         klos.append(jnp.where(valid, klo_j, SENTINEL))
         valids.append(valid)
-    khi = jnp.stack(khis, axis=-1)
-    klo = jnp.stack(klos, axis=-1)
-    valid = jnp.stack(valids, axis=-1)
+    khi = jnp.stack(khis, axis=0)
+    klo = jnp.stack(klos, axis=0)
+    valid = jnp.stack(valids, axis=0)
     return khi, klo, valid
 
 

@@ -123,16 +123,17 @@ def test_expand_records(k):
         want_rows.append(row)
     rhi = jnp.asarray([r >> 32 for r in recs], jnp.uint32)
     rlo = jnp.asarray([r & 0xFFFFFFFF for r in recs], jnp.uint32)
+    # output is window-major: [S, n]
     khi, klo, valid = minimizer.expand_records(rhi, rlo, k, m)
     khi, klo, valid = np.asarray(khi), np.asarray(klo), np.asarray(valid)
     for i, row in enumerate(want_rows):
         for j, w in enumerate(row):
             if w is None:
-                assert not valid[i, j]
-                assert khi[i, j] == SENTINEL and klo[i, j] == SENTINEL
+                assert not valid[j, i]
+                assert khi[j, i] == SENTINEL and klo[j, i] == SENTINEL
             else:
-                assert valid[i, j]
-                got = (int(khi[i, j]) << 32) | int(klo[i, j])
+                assert valid[j, i]
+                got = (int(khi[j, i]) << 32) | int(klo[j, i])
                 assert got == w, (i, j)
 
 
