@@ -225,7 +225,8 @@ def _bucketed_bench(k, genome, genome_len, read_view, length) -> dict:
                     for i in range(mrows)))
 
         S = minimizer.rec_windows(k)
-        rec_per_chunk = (1 << 17) // S
+        slots_log = int(os.environ.get("KAT_TPU_SMR_SLOTS_LOG", "17"))
+        rec_per_chunk = (1 << slots_log) // S
         max_chunks = 512
         t0 = _t.perf_counter()
         staged = []

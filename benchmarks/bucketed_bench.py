@@ -52,7 +52,8 @@ def main() -> None:
                 for i in range(m)))
 
     S = minimizer.rec_windows(k)
-    rec_per_chunk = (1 << 17) // S
+    slots_log = int(os.environ.get("KAT_TPU_SMR_SLOTS_LOG", "17"))
+    rec_per_chunk = (1 << slots_log) // S
     max_chunks = 512                     # ~2^26 slots per flush
     bucket_bits = 13
 

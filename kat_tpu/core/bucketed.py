@@ -298,7 +298,8 @@ def count_paths_bucketed(paths, k: int, m: int = minimizer.M_DEFAULT,
 
     S = minimizer.rec_windows(k)
     if rec_per_chunk is None:
-        rec_per_chunk = (1 << 17) // S
+        slots_log = int(os.environ.get("KAT_TPU_SMR_SLOTS_LOG", "17"))
+        rec_per_chunk = (1 << slots_log) // S
     if bucket_bits is None:
         # ~16 buckets per chunk: first-fit packing wastes ~half a bucket
         # per chunk boundary, so smaller buckets pack chunks tighter
