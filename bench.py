@@ -213,14 +213,18 @@ def _bucketed_bench(k, genome, genome_len, read_view, length) -> dict:
     rng = np.random.default_rng(7)
     fd, path = tempfile.mkstemp(suffix=".fastq")
     qual = b"I" * length
+    # the bench genome is 2-bit CODES (fed straight to the device as
+    # code batches); the router reads FASTX, so map to ASCII bases here
+    ascii_lut = np.frombuffer(b"ACGT", np.uint8)
     try:
         with os.fdopen(fd, "wb") as f:
             for start in range(0, n_reads, 20_000):
                 mrows = min(20_000, n_reads - start)
                 offs = rng.integers(0, genome_len, size=mrows)
+                rows_ascii = ascii_lut[read_view[offs]]
                 f.write(b"".join(
                     b"@r%d\n%s\n+\n%s\n" % (start + i,
-                                            read_view[offs[i]].tobytes(),
+                                            rows_ascii[i].tobytes(),
                                             qual)
                     for i in range(mrows)))
 
@@ -247,6 +251,8 @@ def _bucketed_bench(k, genome, genome_len, read_view, length) -> dict:
                             np.asarray(groups).reshape(-1, 2)]))
             total_windows += nw
         route_rate = total_windows / (_t.perf_counter() - t0)
+        if not total_windows:
+            return {"bucketed_error": "router produced no windows"}
 
         from kat_tpu.core.counting import empty_table
 
