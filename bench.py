@@ -209,7 +209,7 @@ def _bucketed_bench(k, genome, genome_len, read_view, length) -> dict:
     if not (minimizer.supports(k) and native.available()):
         return {"bucketed_skipped": "unsupported k or native lib missing"}
 
-    n_reads = 192_000  # ~191.6M windows = ~3 chunked flushes
+    n_reads = 216_000  # ~215.6M windows = 4 FULL chunked flushes
     rng = np.random.default_rng(7)
     fd, path = tempfile.mkstemp(suffix=".fastq")
     qual = b"I" * length
@@ -235,9 +235,12 @@ def _bucketed_bench(k, genome, genome_len, read_view, length) -> dict:
         t0 = _t.perf_counter()
         staged = []
         total_windows = 0
+        # ONE router: range workers fragment the stream into partial
+        # tail flushes that each pay a full-table merge (the staging is
+        # untimed anyway)
         for chunks, groups, nw in native.route_flushes(
                 [path], k, minimizer.M_DEFAULT, 13, max_chunks,
-                rec_per_chunk, threads=3):
+                rec_per_chunk, threads=1):
             n = chunks.shape[0]
             tgt = min(max_chunks,
                       1 << max(3, int(np.ceil(np.log2(max(n, 1))))))
