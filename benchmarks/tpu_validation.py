@@ -1,4 +1,4 @@
-"""One-shot round-4 TPU validation queue.
+"""One-shot TPU validation queue (round 5).
 
 Runs, STRICTLY ONE TPU PROCESS AT A TIME (concurrent tunnel use wedges
 the grant), with a per-step timeout and structured capture:
@@ -14,7 +14,7 @@ the grant), with a per-step timeout and structured capture:
   9. wide-key (k=33, 4-word) steady-state throughput
  10. BASELINE config 5 end-to-end (filter kmer -> filter seq -> comp)
 
-Results land in TPU_VALIDATION_r04.json as they arrive (the file is
+Results land in TPU_VALIDATION_r05.json as they arrive (the file is
 rewritten after every step, so a mid-queue tunnel death still leaves
 everything measured so far).  Steps that fail record their error and the
 queue continues.
@@ -33,7 +33,7 @@ import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(ROOT, "TPU_VALIDATION_r04.json")
+OUT = os.path.join(ROOT, "TPU_VALIDATION_r05.json")
 
 
 def run_step(name: str, argv: list[str], timeout: float,
@@ -75,7 +75,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip", default="",
                     help="comma list: probe,verify,bench,analysis,join,"
-                         "golden,sharded,ingest,wide,config5")
+                         "golden,sharded,ingest,wide,bucketed,config5")
     args = ap.parse_args()
     skip = set(filter(None, args.skip.split(",")))
 
@@ -132,6 +132,12 @@ def main() -> None:
     if "wide" not in skip:
         record("wide_throughput", run_step(
             "wide", [py, "benchmarks/wide_bench.py"], 3600))
+
+    if "bucketed" not in skip:
+        record("bucketed_ab", run_step(
+            "bucketed", [py, "benchmarks/bucketed_bench.py"], 4800))
+        record("bucketed_profile", run_step(
+            "bucketed", [py, "benchmarks/profile_bucketed.py"], 3600))
 
     if "config5" not in skip:
         record("config5", run_step(
