@@ -118,3 +118,47 @@ def test_reverse_strand_and_tie_storms(tmp_path):
         [path], k, max_chunks=8, rec_per_chunk=1024 // S,
         bucket_bits=6, initial_capacity=1 << 13)
     _check_counts(table, base_seqs + rcs, k)
+
+
+def test_k29_two_window_records(tmp_path):
+    """k=29 rides the S=2 record geometry (2(k-1+S)+3 = 63 bits) — the
+    other record width the router/expander support."""
+    k = 29
+    assert minimizer.rec_windows(k) == 2
+    rng = np.random.default_rng(8)
+    genome = "".join("ACGT"[c] for c in rng.integers(0, 4, size=700))
+    seqs = [genome[int(rng.integers(0, 580)):][:110] for _ in range(70)]
+    path = _write_fastq(tmp_path, seqs)
+    table = bucketed.count_paths_bucketed(
+        [path], k, max_chunks=8, rec_per_chunk=1024 // 2,
+        bucket_bits=6, initial_capacity=1 << 13)
+    _check_counts(table, seqs, k)
+
+
+def test_gcp_comp_cli_minimizer_parity(tmp_path, monkeypatch):
+    """gcp and comp artifacts byte-identical between the classic and
+    bucketed counting paths (the analysis layer must see identical
+    tables after finish() decode)."""
+    from kat_tpu import cli
+
+    rng = np.random.default_rng(23)
+    genome = "".join("ACGT"[c] for c in rng.integers(0, 4, size=700))
+    s1 = [genome[int(rng.integers(0, 560)):][:100] for _ in range(60)]
+    s2 = [genome[int(rng.integers(0, 560)):][:100] for _ in range(50)]
+    p1 = _write_fastq(tmp_path, s1, "a.fastq")
+    p2 = _write_fastq(tmp_path, s2, "b.fastq")
+
+    outs = {}
+    for tag, env in (("classic", "0"), ("mini", "1")):
+        monkeypatch.setenv("KAT_TPU_MINIMIZER", env)
+        monkeypatch.setenv("KAT_TPU_SMR_CHUNKS", "8")
+        g = tmp_path / f"g_{tag}"
+        assert cli.main(["gcp", "-m", "27", "-o", str(g), "-p", "none",
+                         p1]) == 0
+        c = tmp_path / f"c_{tag}"
+        assert cli.main(["comp", "-m", "17", "-o", str(c), "-p", "none",
+                         p1, p2]) == 0
+        outs[tag] = ((g.with_suffix(".mx")).read_bytes(),
+                     (tmp_path / f"c_{tag}-main.mx").read_bytes(),
+                     (tmp_path / f"c_{tag}.stats").read_bytes())
+    assert outs["classic"] == outs["mini"]
