@@ -116,6 +116,15 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p]
+        lib.kat_smr_next_flush2.restype = ctypes.c_int64
+        lib.kat_smr_next_flush2.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int]
+        lib.kat_smr_attach.restype = ctypes.c_int
+        lib.kat_smr_attach.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -301,22 +310,39 @@ class SupermerRouter:
                 f"m={m})")
 
     def next_flush(self, max_chunks: int, rec_per_chunk: int,
-                   max_groups: int = 64):
-        """One flush worth of routed records, or None at end of input."""
+                   max_groups: int = 64, finalize: bool = True):
+        """One flush worth of routed records, or None.
+
+        finalize=True (default): pack remainders at end of input (None
+        thereafter means fully drained).  finalize=False: None means
+        "current input exhausted, bins kept" — attach() more input and
+        keep calling, then drain with finalize=True."""
         chunks = np.empty((max_chunks, rec_per_chunk), np.uint64)
         groups = np.zeros((max_groups, 2), np.int32)
         stats = np.zeros((3,), np.int64)
-        n = self._lib.kat_smr_next_flush(
+        n = self._lib.kat_smr_next_flush2(
             self._h, int(max_chunks), int(rec_per_chunk),
             chunks.ctypes.data_as(ctypes.c_void_p),
             groups.ctypes.data_as(ctypes.c_void_p), int(max_groups),
-            stats.ctypes.data_as(ctypes.c_void_p))
+            stats.ctypes.data_as(ctypes.c_void_p),
+            1 if finalize else 0)
         if n < 0:
             raise RuntimeError("supermer router error (corrupt input?)")
         if n == 0:
             return None
         return (chunks[:n], groups[:int(stats[2])].copy(),
                 int(stats[0]))
+
+    def attach(self, path: str, trim5: int = 0,
+               byte_range: tuple | None = None) -> None:
+        """Attach another input, KEEPING accumulated bucket bins (used
+        with next_flush(finalize=False) so many byte ranges stream into
+        full flushes instead of one partial tail per range)."""
+        start, end = byte_range if byte_range else (0, 1 << 62)
+        ok = self._lib.kat_smr_attach(self._h, path.encode(), int(trim5),
+                                      int(start), int(end))
+        if not ok:
+            raise OSError(f"could not attach {path} to supermer router")
 
     def close(self) -> None:
         if self._h:
@@ -349,12 +375,12 @@ def route_flushes(paths: list[str], k: int, m: int, bucket_bits: int,
         raise RuntimeError("native fastxio library unavailable")
     trims = _trims_for(paths, trim5)
     threads = max(1, int(threads))
-    # Exactly ONE range per worker (not the reader's threads*2 finer
-    # split): each worker owns a router whose bins accumulate across its
-    # whole range, so fewer/larger ranges mean fewer partially-filled
-    # tail flushes (the device pays per packed chunk).  The router does
-    # ~6x the per-byte work of the plain parser, so even ~8MB ranges
-    # are worth parallelizing.
+    # Each worker owns ONE router and ATTACHES successive work items to
+    # it (bins accumulate across ranges/files), so fine-grained ranges
+    # load-balance without fragmenting the stream into partial tail
+    # flushes — every worker emits full flushes plus exactly one
+    # remainder at the very end.  The router does ~6x the per-byte work
+    # of the plain parser, so even ~8MB ranges are worth parallelizing.
     items: list[tuple] = []
     whole = 1 << 62
     for path, trim in zip(paths, trims):
@@ -362,7 +388,7 @@ def route_flushes(paths: list[str], k: int, m: int, bucket_bits: int,
         size = os.path.getsize(path) if kind in (1, 2) else 0
         if kind in (1, 2) and threads > 1 and size > 2 * (RANGE_CHUNK
                                                           // 8):
-            n = min(threads, max(1, size // (RANGE_CHUNK // 8)))
+            n = min(threads * 4, max(1, size // (RANGE_CHUNK // 8)))
             step = -(-size // n)
             for s in range(0, size, step):
                 items.append((path, trim, s, min(s + step, size),
@@ -378,14 +404,35 @@ def route_flushes(paths: list[str], k: int, m: int, bucket_bits: int,
                                   byte_range=(start, end))
         return SupermerRouter(path, k, m, bucket_bits, trim5=trim)
 
+    def attach_item(r, item):
+        path, trim, start, end, kind = item
+        r.attach(path, trim5=trim,
+                 byte_range=(start, end) if kind == "range" else None)
+
     if threads == 1:
-        for item in items:
-            with open_item(item) as r:
+        r = None
+        try:
+            for item in items:
+                if r is None:
+                    r = open_item(item)
+                else:
+                    attach_item(r, item)
                 while True:
-                    fl = r.next_flush(max_chunks, rec_per_chunk)
+                    fl = r.next_flush(max_chunks, rec_per_chunk,
+                                      finalize=False)
                     if fl is None:
                         break
                     yield fl
+            if r is not None:
+                while True:
+                    fl = r.next_flush(max_chunks, rec_per_chunk,
+                                      finalize=True)
+                    if fl is None:
+                        break
+                    yield fl
+        finally:
+            if r is not None:
+                r.close()
         return
 
     q: queue.Queue = queue.Queue(maxsize=threads + 1)
@@ -403,22 +450,37 @@ def route_flushes(paths: list[str], k: int, m: int, bucket_bits: int,
         return False
 
     def worker() -> None:
+        r = None
         try:
             while not stop.is_set():
                 with work_lock:
                     item = next(work, None)
                 if item is None:
                     break
-                with open_item(item) as r:
-                    while not stop.is_set():
-                        fl = r.next_flush(max_chunks, rec_per_chunk)
-                        if fl is None:
-                            break
-                        if not _put(fl):
-                            return
+                if r is None:
+                    r = open_item(item)
+                else:
+                    attach_item(r, item)
+                while not stop.is_set():
+                    fl = r.next_flush(max_chunks, rec_per_chunk,
+                                      finalize=False)
+                    if fl is None:
+                        break
+                    if not _put(fl):
+                        return
+            # end of this worker's inputs: drain the remainder
+            while r is not None and not stop.is_set():
+                fl = r.next_flush(max_chunks, rec_per_chunk,
+                                  finalize=True)
+                if fl is None:
+                    break
+                if not _put(fl):
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised at consumer
             _put(e)
         finally:
+            if r is not None:
+                r.close()
             _put(None)
 
     workers = [threading.Thread(target=worker, daemon=True,

@@ -874,18 +874,45 @@ void* kat_smr_open_range(const char* path, int k, int m, int bucket_bits,
 
 void kat_smr_close(void* h) { delete static_cast<Smr*>(h); }
 
+// Attach ANOTHER input (whole file, or a byte range of a plain file) to
+// an existing router, KEEPING its bucket bins.  This is how one worker
+// routes many byte ranges without emitting a partial tail flush per
+// range: bins accumulate across inputs and kat_smr_next_flush with
+// finalize=0 refuses to pack under-target remainders.
+// Returns 1 ok, 0 failure (router unchanged).
+int kat_smr_attach(void* h, const char* path, int trim5, int64_t start,
+                   int64_t end) {
+  Smr* s = static_cast<Smr*>(h);
+  if (!s) return 0;
+  void* rd = (start == 0 && end >= (int64_t{1} << 62))
+                 ? kat_fastx_open(path, trim5)
+                 : kat_fastx_open_range(path, trim5, start, end);
+  if (!rd) return 0;
+  delete s->rd;
+  s->rd = static_cast<Reader*>(rd);
+  s->parse_eof = false;
+  s->rows_have = 0;
+  s->row_i = 0;
+  return 1;
+}
+
 // Pack up to max_chunks chunks of rec_per_chunk u64 records.
 //   chunks_out: [max_chunks * rec_per_chunk] u64, caller-allocated; padding
 //     records are written as 0.
 //   groups_out: [2 * max_groups] int32 (start_chunk, log2_size) pairs for
 //     hot buckets spanning >1 chunk (device must merge those chunk runs).
 //   stats_out:  [0]=n_windows packed, [1]=n_records packed, [2]=n_groups.
-// Returns the number of chunks filled; 0 when input is exhausted AND all
-// bins are empty.  -1 on reader error.
-int64_t kat_smr_next_flush(void* h, int64_t max_chunks,
-                           int64_t rec_per_chunk, uint64_t* chunks_out,
-                           int32_t* groups_out, int64_t max_groups,
-                           int64_t* stats_out) {
+//   finalize: 0 = if the CURRENT input is exhausted with bins below the
+//     flush target, return 0 WITHOUT packing (so the caller can
+//     kat_smr_attach more input and keep accumulating full flushes);
+//     1 = pack whatever remains (end of all inputs).
+// Returns the number of chunks filled; 0 when more input is needed
+// (finalize=0) or everything is drained (finalize=1).  -1 on reader
+// error.
+int64_t kat_smr_next_flush2(void* h, int64_t max_chunks,
+                            int64_t rec_per_chunk, uint64_t* chunks_out,
+                            int32_t* groups_out, int64_t max_groups,
+                            int64_t* stats_out, int finalize) {
   Smr* s = static_cast<Smr*>(h);
   if (!s || max_chunks < 1 || rec_per_chunk < 1) return -1;
   // accumulate a little past the chunk budget so packing can FILL it;
@@ -894,6 +921,10 @@ int64_t kat_smr_next_flush(void* h, int64_t max_chunks,
   while (s->binned_records < target) {
     if (!s->parse_some()) break;
     if (s->rd->terr) return -1;
+  }
+  if (!finalize && s->parse_eof && s->binned_records < target) {
+    s->flush_all_buckets();
+    return 0;  // caller should attach more input (bins kept)
   }
   s->flush_all_buckets();  // staged records land before packing
   if (s->binned_records == 0) return 0;
@@ -963,6 +994,15 @@ int64_t kat_smr_next_flush(void* h, int64_t max_chunks,
   stats_out[2] = n_groups;
   int64_t n_chunks = chunk + (used > 0 ? 1 : 0);
   return n_chunks;
+}
+
+// Original single-input entry point: always pack remainders.
+int64_t kat_smr_next_flush(void* h, int64_t max_chunks,
+                           int64_t rec_per_chunk, uint64_t* chunks_out,
+                           int32_t* groups_out, int64_t max_groups,
+                           int64_t* stats_out) {
+  return kat_smr_next_flush2(h, max_chunks, rec_per_chunk, chunks_out,
+                             groups_out, max_groups, stats_out, 1);
 }
 
 }  // extern "C"

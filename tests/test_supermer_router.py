@@ -151,3 +151,59 @@ def test_gz_input(tmp_path):
         for rec in chunks.reshape(-1).tolist():
             got.update(_decode_record(int(rec), K))
     assert got == want
+
+
+def test_multi_range_workers_emit_full_flushes(tmp_path):
+    """Parallel routing with attach-accumulation: byte-range workers
+    keep their bins across ranges, so only ONE under-target remainder
+    flush per worker appears — ranges no longer fragment the stream."""
+    rng = np.random.default_rng(13)
+    p = tmp_path / "big.fastq"
+    with open(p, "wb") as f:
+        for i in range(120_000):
+            s = "".join("ACGT"[c] for c in rng.integers(0, 4, size=150))
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, s.encode(),
+                                            b"I" * 150))
+    # ~21MB: splits into byte ranges at threads=3.  rec_per_chunk >>
+    # records/bucket so ordinary buckets pack densely.
+    rec_per_chunk = 512
+    max_chunks = 16
+    total = 0
+    fills = []
+    for chunks, groups, nw in native.route_flushes(
+            [str(p)], K, M, BB, max_chunks, rec_per_chunk, threads=3):
+        total += nw
+        fills.append(int((chunks != 0).sum()))
+    assert total == 120_000 * (150 - K + 1)
+    assert len(fills) > 3  # genuinely many flushes
+    # attach-accumulation: flushes stay near the packing density (no
+    # per-range fragment tails); at these toy dims first-fit packs
+    # ~50-75% of capacity, so a healthy MEAN is the robust signal
+    mean_fill = sum(fills) / (len(fills) * max_chunks * rec_per_chunk)
+    assert mean_fill > 0.5, mean_fill
+
+
+def test_attach_keeps_bins(tmp_path):
+    """attach() + finalize=False: an under-target input yields NO flush
+    until more input arrives or the router is finalized; windows are
+    conserved across the attached inputs."""
+    rng = np.random.default_rng(17)
+    seqs_a = ["".join("ACGT"[c] for c in rng.integers(0, 4, size=120))
+              for _ in range(20)]
+    seqs_b = ["".join("ACGT"[c] for c in rng.integers(0, 4, size=120))
+              for _ in range(20)]
+    pa = _write_fastq(tmp_path, seqs_a, "a.fastq")
+    pb = _write_fastq(tmp_path, seqs_b, "b.fastq")
+    from collections import Counter
+    got: Counter = Counter()
+    with native.SupermerRouter(pa, K, M, BB) as r:
+        assert r.next_flush(64, 64, finalize=False) is None  # bins kept
+        r.attach(pb)
+        assert r.next_flush(64, 64, finalize=False) is None
+        while True:
+            fl = r.next_flush(64, 64, finalize=True)
+            if fl is None:
+                break
+            for rec in fl[0].reshape(-1).tolist():
+                got.update(_decode_record(int(rec), K))
+    assert got == oracle.count_seqs(seqs_a + seqs_b, K, canonical=True)
