@@ -310,7 +310,7 @@ class SupermerRouter:
                 f"m={m})")
 
     def next_flush(self, max_chunks: int, rec_per_chunk: int,
-                   max_groups: int = 64, finalize: bool = True):
+                   max_groups: int = 512, finalize: bool = True):
         """One flush worth of routed records, or None.
 
         finalize=True (default): pack remainders at end of input (None

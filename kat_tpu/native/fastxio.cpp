@@ -935,29 +935,58 @@ int64_t kat_smr_next_flush2(void* h, int64_t max_chunks,
   int64_t used = 0;     // records used in `chunk`
   int64_t n_groups = 0;
   int64_t packed_windows = 0, packed_records = 0;
+  // PROPORTIONAL take: every bucket contributes ~its share of the chunk
+  // budget each flush.  (The original greedy pack consumed buckets in
+  // ascending id until chunks ran out, which STARVED high-id buckets —
+  // they accumulated for the entire run and came out at EOF as more hot
+  // groups than the report array holds, a silent ordering-correctness
+  // bug caught by the 2048-chunk chip A/B's parity check.)  Splitting a
+  // bucket across flushes is always safe: counts merge through the
+  // table; only the WITHIN-flush ascending-bucket order matters.
+  int64_t cap_rec = max_chunks * rec_per_chunk;
+  double scale = s->binned_records > cap_rec * 49 / 50
+                     ? static_cast<double>(cap_rec * 49 / 50) /
+                           static_cast<double>(s->binned_records)
+                     : 1.0;
   for (uint32_t b = 0; b < s->n_buckets; ++b) {
     std::vector<uint64_t>& bin = s->bins[b];
     if (bin.empty()) continue;
     int64_t need = static_cast<int64_t>(bin.size());
-    if (need <= rec_per_chunk) {
-      if (used + need > rec_per_chunk) {  // start a fresh chunk
+    int64_t want = scale < 1.0
+                       ? static_cast<int64_t>(need * scale) + 1
+                       : need;
+    if (want > need) want = need;
+    if (want <= rec_per_chunk) {
+      if (used + want > rec_per_chunk) {  // start a fresh chunk
         ++chunk;
         used = 0;
       }
       if (chunk >= max_chunks) break;
-      std::memcpy(chunks_out + chunk * rec_per_chunk + used, bin.data(),
-                  sizeof(uint64_t) * need);
-      used += need;
-      packed_records += need;
-      packed_windows += s->bin_windows[b];
-      s->bin_windows[b] = 0;
-      bin.clear();
-      bin.shrink_to_fit();
+      std::memcpy(chunks_out + chunk * rec_per_chunk + used,
+                  bin.data() + (need - want), sizeof(uint64_t) * want);
+      used += want;
+      packed_records += want;
+      if (want == need) {
+        packed_windows += s->bin_windows[b];
+        s->bin_windows[b] = 0;
+        bin.clear();
+        bin.shrink_to_fit();
+      } else {
+        int64_t wtaken = 0;
+        for (int64_t i = need - want; i < need; ++i)
+          wtaken += static_cast<int64_t>(bin[i] >> 61);
+        bin.resize(need - want);
+        s->bin_windows[b] -= wtaken;
+        packed_windows += wtaken;
+      }
       continue;
     }
-    // hot bucket: dedicated ALIGNED pow2 group of chunks
+    // hot bucket: dedicated ALIGNED pow2 group of chunks.  NEVER place
+    // an unreported group (the device must know to merge its chunk
+    // runs): if the report array is full, defer the bucket instead.
+    if (n_groups >= max_groups) continue;
     int64_t g = 1;
-    while (g * rec_per_chunk < need && g < max_chunks) g <<= 1;
+    while (g * rec_per_chunk < want && g < max_chunks) g <<= 1;
     if (used > 0) {  // current chunk is partially filled: close it
       ++chunk;
       used = 0;
@@ -968,7 +997,7 @@ int64_t kat_smr_next_flush2(void* h, int64_t max_chunks,
       start = ((chunk + g - 1) / g) * g;
     }
     if (start + g > max_chunks) break;  // no room at all: defer bucket
-    int64_t take = need < g * rec_per_chunk ? need : g * rec_per_chunk;
+    int64_t take = want < g * rec_per_chunk ? want : g * rec_per_chunk;
     std::memcpy(chunks_out + start * rec_per_chunk,
                 bin.data() + (need - take), sizeof(uint64_t) * take);
     // window accounting: recompute from the records taken
@@ -979,7 +1008,7 @@ int64_t kat_smr_next_flush2(void* h, int64_t max_chunks,
     s->bin_windows[b] -= wtaken;
     packed_records += take;
     packed_windows += wtaken;
-    if (g > 1 && n_groups < max_groups) {
+    if (g > 1) {
       groups_out[2 * n_groups] = static_cast<int32_t>(start);
       groups_out[2 * n_groups + 1] = static_cast<int32_t>(
           __builtin_ctzll(static_cast<unsigned long long>(g)));
