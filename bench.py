@@ -209,7 +209,7 @@ def _bucketed_bench(k, genome, genome_len, read_view, length) -> dict:
     if not (minimizer.supports(k) and native.available()):
         return {"bucketed_skipped": "unsupported k or native lib missing"}
 
-    n_reads = 282_000  # ~281.4M windows = 4 FULL 672-chunk flushes
+    n_reads = 790_000  # ~788M windows = 4 FULL 2048-chunk flushes
     rng = np.random.default_rng(7)
     fd, path = tempfile.mkstemp(suffix=".fastq")
     qual = b"I" * length
@@ -231,7 +231,7 @@ def _bucketed_bench(k, genome, genome_len, read_view, length) -> dict:
         S = minimizer.rec_windows(k)
         slots_log = int(os.environ.get("KAT_TPU_SMR_SLOTS_LOG", "17"))
         rec_per_chunk = (1 << slots_log) // S
-        max_chunks = 672
+        max_chunks = int(os.environ.get('KAT_TPU_SMR_CHUNKS', '2048'))
         t0 = _t.perf_counter()
         staged = []
         total_windows = 0

@@ -32,8 +32,8 @@ def main() -> None:
 
     k = 27
     read_len = 1024
-    n_reads = int(os.environ.get("KAT_TPU_AB_READS", "282000"))
-    # 282K reads ~ 281M windows = 4 FULL 672-chunk flushes
+    n_reads = int(os.environ.get("KAT_TPU_AB_READS", "790000"))
+    # 790K reads ~ 788M windows = 4 FULL 2048-chunk flushes
     genome_len = 1 << 23
     rng = np.random.default_rng(42)
     genome = rng.integers(0, 4, size=genome_len + read_len, dtype=np.uint8)
@@ -55,7 +55,7 @@ def main() -> None:
     S = minimizer.rec_windows(k)
     slots_log = int(os.environ.get("KAT_TPU_SMR_SLOTS_LOG", "17"))
     rec_per_chunk = (1 << slots_log) // S
-    max_chunks = int(os.environ.get("KAT_TPU_SMR_CHUNKS", "672"))
+    max_chunks = int(os.environ.get("KAT_TPU_SMR_CHUNKS", "2048"))
     # 672 chunks ~ 88M slots -> ~2^26 VALID windows at 0.76 fill
     bucket_bits = 13
 

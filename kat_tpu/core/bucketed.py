@@ -284,7 +284,7 @@ class BucketedCodeCounter:
 
 def count_paths_bucketed(paths, k: int, m: int = minimizer.M_DEFAULT,
                          trim5=None,
-                         max_chunks: int = 672,
+                         max_chunks: int = 2048,
                          rec_per_chunk: int | None = None,
                          bucket_bits: int | None = None,
                          initial_capacity: int = 1 << 20,
@@ -292,12 +292,12 @@ def count_paths_bucketed(paths, k: int, m: int = minimizer.M_DEFAULT,
                          disable_grow: bool = False) -> CountTable:
     """Count canonical k-mers of FASTX paths through the bucketed flush.
 
-    Defaults give ~2^17-slot chunks; max_chunks=672 sizes a flush at
-    ~88M slots so the ~0.76 slot fill still delivers the classic
-    flush's ~2^26 VALID windows — per-flush table-merge and dispatch
-    overheads amortize at the same cadence (chunk counts need not be
-    pow2; the sort kernel's virtual blocks cover the tail window).
-    Tune with KAT_TPU_SMR_CHUNKS."""
+    Defaults give ~2^17-slot chunks and 2048-chunk (~268M-slot,
+    ~190M-window) flushes — chip-swept optimum: per-flush table-merge
+    and dispatch overheads amortize with flush size (672 chunks ->
+    1.19x classic, 1024 -> 1.33x, 2048 -> 1.37x, 4096 COLLAPSES to
+    0.45x under HBM pressure).  Chunk counts need not be pow2 (virtual
+    blocks cover the tail window).  Tune with KAT_TPU_SMR_CHUNKS."""
     from ..io import native
 
     S = minimizer.rec_windows(k)
