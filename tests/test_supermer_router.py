@@ -207,3 +207,38 @@ def test_attach_keeps_bins(tmp_path):
             for rec in fl[0].reshape(-1).tolist():
                 got.update(_decode_record(int(rec), K))
     assert got == oracle.count_seqs(seqs_a + seqs_b, K, canonical=True)
+
+
+def test_proportional_pack_covers_all_buckets(tmp_path):
+    """Every flush takes a share from EVERY non-empty bucket (the
+    round-5 starvation regression: greedy ascending packing left
+    high-id buckets accumulating until EOF, overflowing the hot-group
+    report and silently breaking stream order at scale)."""
+    rng = np.random.default_rng(29)
+    p = tmp_path / "r.fastq"
+    with open(p, "wb") as f:
+        for i in range(60_000):
+            s = "".join("ACGT"[c] for c in rng.integers(0, 4, size=150))
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, s.encode(), b"I" * 150))
+    seen_high = 0
+    nf = 0
+    full = []
+    for chunks, groups, nw in native.route_flushes(
+            [str(p)], K, M, BB, 8, 512, threads=1):
+        nf += 1
+        # bucket ids present in this flush
+        ids = set()
+        for rec in chunks.reshape(-1).tolist():
+            ws = _decode_record(int(rec), K)
+            if ws:
+                ids.add(oracle.mix26_oracle(
+                    oracle.minimizer_of(ws[0], K, M)[0]) >> (26 - BB))
+        full.append(ids)
+    assert nf >= 3
+    # every FULL flush (all but possibly the last) must span nearly the
+    # whole bucket space — no starved tail of high ids
+    for ids in full[:-1]:
+        assert len(ids) > 55, len(ids)  # of 64 buckets
+        # the greedy-pack starvation left max(ids) stuck low (~20s) in
+        # later flushes; proportional take reaches the high tail always
+        assert max(ids) >= 55
