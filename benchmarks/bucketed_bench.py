@@ -104,14 +104,9 @@ def main() -> None:
     def run_bucketed() -> counting.CountTable:
         sc_b.table = counting.empty_table(sc_b.capacity)
         sc_b._unchecked = None
+        sc_b._runs = []
         for rhi, rlo, groups in staged:
-            sc_b._check_overflow()
-            prev = sc_b.table
-            sc_b.table, fnu = sc_b._run_flush(prev, rhi, rlo, groups,
-                                              rhi.shape[0],
-                                              rec_per_chunk)
-            sc_b._unchecked = (prev, rhi, rlo, groups, rhi.shape[0],
-                               rec_per_chunk, fnu)
+            sc_b.add_flush((rhi, rlo), groups)
         t = sc_b.finish()
         _ = int(t.n_unique)  # device sync (tunnel-safe)
         return t

@@ -45,6 +45,17 @@ from .kmers import SENTINEL
 from . import minimizer
 
 
+def _pad_table(t: CountTable, capacity: int):
+    pad = capacity - t.keys_hi.shape[0]
+    if pad <= 0:
+        return t.keys_hi, t.keys_lo, t.counts, t.n_unique
+    s = jnp.full((pad,), SENTINEL, jnp.uint32)
+    return (jnp.concatenate([t.keys_hi, s]),
+            jnp.concatenate([t.keys_lo, s]),
+            jnp.concatenate([t.counts, jnp.zeros((pad,), jnp.uint32)]),
+            t.n_unique)
+
+
 def _as_planes(chunks: np.ndarray):
     rhi = (chunks >> np.uint64(32)).astype(np.uint32)
     rlo = (chunks & np.uint64(0xFFFFFFFF)).astype(np.uint32)
@@ -92,6 +103,12 @@ class BucketedCodeCounter:
         self.table = empty_table(self.capacity)  # KEY'-SPACE keys
         self._fns: dict = {}
         self._unchecked: tuple | None = None
+        # deferred-runs mode: accumulate N pre-reduced fresh runs and
+        # merge them into the table every N flushes (the table merge is
+        # the residual per-flush overhead once flushes are large)
+        self.runs_mode = int(os.environ.get("KAT_TPU_BUCKETED_RUNS",
+                                            "0"))
+        self._runs: list = []
 
     # -- flush program -----------------------------------------------------
 
@@ -209,17 +226,173 @@ class BucketedCodeCounter:
             shi, slo, table.keys_hi, table.keys_lo, table.counts)
         return CountTable(nhi, nlo, nc, n_unique), fnu
 
+    # -- deferred-runs mode (KAT_TPU_BUCKETED_RUNS > 0) --------------------
+
+    def _run_only_fn(self, n_chunks: int, rec_per_chunk: int, cap: int):
+        """Fresh-stream-only flush (expand + chunked sort + dedup
+        reduce, NO table merge) — the deferred-runs mode's per-flush
+        program: reduced runs are ~distinct-sized, so the table merge
+        amortizes over KAT_TPU_BUCKETED_RUNS flushes in _consolidate."""
+        key = ("r", n_chunks, rec_per_chunk, cap)
+        if key not in self._fns:
+            from ..ops.reduce_kernel import reduce_compact_sorted
+            from ..ops.sort_kernel import bitonic_sort_chunks
+
+            k, m = self.k, self.m
+            S = minimizer.rec_windows(k)
+            chunk_slots = rec_per_chunk * S
+            interp = _kernel_interpret()
+
+            @jax.jit
+            def run_only(rhi, rlo):
+                khi, klo, _valid = minimizer.expand_records(rhi, rlo, k,
+                                                            m)
+                khi = jnp.swapaxes(khi, 0, 1).reshape(-1)
+                klo = jnp.swapaxes(klo, 0, 1).reshape(-1)
+                shi, slo = bitonic_sort_chunks(
+                    (khi, klo), 2, chunk_slots, interpret=interp)
+                w = (~((shi == SENTINEL)
+                       & (slo == SENTINEL))).astype(jnp.uint32)
+                return reduce_compact_sorted((shi, slo), w, cap,
+                                             interpret=interp)
+
+            self._fns[key] = run_only
+        return self._fns[key]
+
+    def _reduce_only_fn(self, n_slots: int, cap: int):
+        key = ("ro", n_slots, cap)
+        if key not in self._fns:
+            from ..ops.reduce_kernel import reduce_compact_sorted
+
+            interp = _kernel_interpret()
+
+            @jax.jit
+            def reduce_only(shi, slo):
+                w = (~((shi == SENTINEL)
+                       & (slo == SENTINEL))).astype(jnp.uint32)
+                return reduce_compact_sorted((shi, slo), w, cap,
+                                             interpret=interp)
+
+            self._fns[key] = reduce_only
+        return self._fns[key]
+
+    def _consol_fn(self, lens: tuple, cap: int):
+        """Merge the resident table + R reduced runs: pad each to cap,
+        bitonic-merge the runs (log2 phases), reduce once."""
+        key = ("c", lens, cap)
+        if key not in self._fns:
+            from ..ops.reduce_kernel import reduce_compact_sorted
+            from ..ops.sort_kernel import (bitonic_merge_runs,
+                                           merge_runs_supported,
+                                           sort_planes_padded)
+
+            interp = _kernel_interpret()
+            R = len(lens)
+            Rp = 1 << max(0, int(np.ceil(np.log2(R))))
+            supported = merge_runs_supported(Rp * cap, cap)
+
+            @jax.jit
+            def consol(*flat):
+                his, los, cs = [], [], []
+                for i in range(R):
+                    h, l, c = flat[3 * i:3 * i + 3]
+                    pad = cap - h.shape[0]
+                    if pad:
+                        h = jnp.concatenate(
+                            [h, jnp.full((pad,), SENTINEL, jnp.uint32)])
+                        l = jnp.concatenate(
+                            [l, jnp.full((pad,), SENTINEL, jnp.uint32)])
+                        c = jnp.concatenate(
+                            [c, jnp.zeros((pad,), jnp.uint32)])
+                    his.append(h)
+                    los.append(l)
+                    cs.append(c)
+                for _ in range(Rp - R):  # pow2-pad with sentinel runs
+                    his.append(jnp.full((cap,), SENTINEL, jnp.uint32))
+                    los.append(jnp.full((cap,), SENTINEL, jnp.uint32))
+                    cs.append(jnp.zeros((cap,), jnp.uint32))
+                hi = jnp.concatenate(his)
+                lo = jnp.concatenate(los)
+                c = jnp.concatenate(cs)
+                if supported:
+                    mh, ml, mc = bitonic_merge_runs((hi, lo, c), 2, cap,
+                                                    interpret=interp)
+                else:
+                    mh, ml, mc = sort_planes_padded((hi, lo, c), 2,
+                                                    interpret=interp)
+                return reduce_compact_sorted((mh, ml), mc, cap,
+                                             interpret=interp)
+
+            self._fns[key] = consol
+        return self._fns[key]
+
+    def _add_flush_runs(self, rhi, rlo, groups, n_chunks: int,
+                        rec_per_chunk: int) -> None:
+        interp = _kernel_interpret()
+        S = minimizer.rec_windows(self.k)
+        chunk_slots = rec_per_chunk * S
+        while True:
+            if groups:
+                a = self._stage_a(n_chunks, rec_per_chunk)
+                shi, slo = a(rhi, rlo)
+                for start, lg in groups:
+                    shi, slo = _merge_group(
+                        shi, slo, jnp.int32(int(start)), 1 << int(lg),
+                        chunk_slots, interp)
+                out = self._reduce_only_fn(shi.shape[0],
+                                           self.capacity)(shi, slo)
+            else:
+                out = self._run_only_fn(n_chunks, rec_per_chunk,
+                                        self.capacity)(rhi, rlo)
+            fh, fl, fc, fnu = out
+            # run overflow is checked synchronously: one scalar fetch
+            # per ~190M-window flush is noise, and it keeps the replay
+            # protocol trivial (re-run THIS flush at doubled capacity)
+            if int(fnu) <= self.capacity:
+                break
+            self._grow()
+        self._runs.append((fh, fl, fc))
+        if len(self._runs) >= self.runs_mode:
+            self._consolidate()
+
+    def _consolidate(self) -> None:
+        if not self._runs:
+            return
+        runs = self._runs
+        self._runs = []
+        prev = self.table
+        while True:
+            arrays = [(prev.keys_hi, prev.keys_lo, prev.counts)]
+            arrays += runs
+            lens = tuple(a[0].shape[0] for a in arrays)
+            flat = [x for a in arrays for x in a]
+            out = self._consol_fn(lens, self.capacity)(*flat)
+            if int(out[3]) <= self.capacity:
+                break
+            self._grow()
+            prev = CountTable(*_pad_table(prev, self.capacity))
+        self.table = CountTable(*out)
+
     # -- streaming protocol ------------------------------------------------
 
-    def add_flush(self, chunks: np.ndarray, groups) -> None:
+    def add_flush(self, chunks, groups) -> None:
         """One router flush: chunks [n_chunks, rec_per_chunk] u64 records
-        (zero-padded), groups [(start_chunk, log2_chunks), ...]."""
-        n_chunks, rec_per_chunk = chunks.shape
-        rhi, rlo = _as_planes(np.ascontiguousarray(chunks))
-        rhi = jax.device_put(rhi)
-        rlo = jax.device_put(rlo)
+        (zero-padded), groups [(start_chunk, log2_chunks), ...].  chunks
+        may also be a PRE-STAGED (rhi, rlo) device-array pair (bench
+        staging)."""
+        if isinstance(chunks, tuple):
+            rhi, rlo = chunks
+        else:
+            rhi, rlo = _as_planes(np.ascontiguousarray(chunks))
+            rhi = jax.device_put(rhi)
+            rlo = jax.device_put(rlo)
+        n_chunks, rec_per_chunk = rhi.shape
         groups = [(int(a), int(b)) for a, b in np.asarray(
             groups).reshape(-1, 2)] if len(groups) else []
+        if self.runs_mode > 0:
+            self._add_flush_runs(rhi, rlo, groups, n_chunks,
+                                 rec_per_chunk)
+            return
         self._check_overflow()
         prev = self.table
         self.table, fnu = self._run_flush(prev, rhi, rlo, groups,
@@ -263,6 +436,7 @@ class BucketedCodeCounter:
         """Settle deferred work, decode key' -> canonical keys, re-sort
         ONCE, and return a standard-order CountTable."""
         self._check_overflow()
+        self._consolidate()
         key = ("finish", self.capacity)
         if key not in self._fns:
             from ..ops.sort_kernel import sort_planes_padded

@@ -162,3 +162,19 @@ def test_gcp_comp_cli_minimizer_parity(tmp_path, monkeypatch):
                      (tmp_path / f"c_{tag}-main.mx").read_bytes(),
                      (tmp_path / f"c_{tag}.stats").read_bytes())
     assert outs["classic"] == outs["mini"]
+
+
+def test_deferred_runs_mode_matches_oracle(tmp_path, monkeypatch):
+    """KAT_TPU_BUCKETED_RUNS: pre-reduced runs defer the table merge;
+    counts must stay exact, including through capacity growth."""
+    monkeypatch.setenv("KAT_TPU_BUCKETED_RUNS", "2")
+    k = 27
+    rng = np.random.default_rng(41)
+    genome = "".join("ACGT"[c] for c in rng.integers(0, 4, size=800))
+    seqs = [genome[int(rng.integers(0, 680)):][:100] for _ in range(120)]
+    path = _write_fastq(tmp_path, seqs)
+    S = minimizer.rec_windows(k)
+    table = bucketed.count_paths_bucketed(
+        [path], k, max_chunks=8, rec_per_chunk=1024 // S,
+        bucket_bits=6, initial_capacity=1 << 9)  # forces growth too
+    _check_counts(table, seqs, k)
